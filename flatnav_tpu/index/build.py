@@ -1,0 +1,380 @@
+"""Wave-based graph construction: the TPU-native Index::add/addBatch.
+
+The reference inserts points one at a time under fine-grained locks
+(/root/reference/include/flatnav/index/Index.h:353-378 `add`, 300-329
+`addBatch` over a thread pool): each insert beam-searches the current graph,
+prunes candidates with the HNSW diversity heuristic (`selectNeighbors`,
+Index.h:714-763), then commits forward edges and repairs back edges
+(`connectNeighbors`, Index.h:765-834).
+
+On TPU there are no locks or per-point control flow. Construction proceeds
+in *insertion waves*: a batch of W new points runs the batched beam search
+against the committed prefix, a batched diversity prune picks each point's
+neighbors, and edges are committed wave-synchronously:
+
+  1. forward edges: scatter each new node's pruned neighbor list into the
+     links table (self-loop padding, Index.h:269-270);
+  2. back edges: all (target <- new) requests in the wave are grouped by
+     target on the host (the deterministic replacement for the reference's
+     per-node mutex ordering, Index.h:780-830); each unique target gets its
+     existing links plus all requesters, filled into free slots if they fit
+     (Index.h:783-790) or re-pruned to M with the same diversity heuristic
+     if they overflow (Index.h:792-825).
+
+Graphs built this way differ from the reference's (insertion order matters
+there too: its parallel build already produces thread-interleaving-dependent
+graphs). Parity is therefore recall-based, exactly like the reference's own
+parallel-insert test (python-bindings/unit_tests/test_parallel_insertions.py:
+recall parity between serial and parallel builds).
+
+Wave sizes grow geometrically and are capped at a fraction of the committed
+graph so that each wave's staleness (new points cannot see each other) stays
+small; shapes are bucketed to powers of two to bound jit recompiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flatnav_tpu.index.graph import GraphArrays
+from flatnav_tpu.index.search import beam_search
+from flatnav_tpu.ops.distances import (
+    MetricType,
+    pairwise_distances,
+    query_block_distances,
+)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+def select_neighbors(
+    cand_dists: jax.Array,  # [W, C] ascending, +inf invalid
+    cand_ids: jax.Array,  # [W, C]
+    cand_vecs: jax.Array,  # [W, C, d] float32
+    m: int,
+    metric: MetricType,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched HNSW diversity pruning (Index.h:714-763 `selectNeighbors`).
+
+    Scans candidates in ascending distance-to-query order; keeps candidate
+    c_i iff fewer than `m` are kept so far and no already-kept c_j satisfies
+    dist(c_j, c_i) < dist(q, c_i) (Index.h:739-748).
+
+    Returns (kept_ids [W, m] with -1 padding, kept_count [W]).
+    """
+    w, c = cand_dists.shape
+
+    def step(i, state):
+        kept_mask, count = state
+        dq_i = cand_dists[:, i]  # [W]
+        vec_i = cand_vecs[:, i, :]  # [W, d]
+        if metric == MetricType.IP:
+            col = 1.0 - jnp.einsum(
+                "wcd,wd->wc", cand_vecs, vec_i,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            diff = cand_vecs - vec_i[:, None, :]
+            col = jnp.sum(diff * diff, axis=-1)  # [W, C] dist(c_j, c_i)
+        closer = jnp.logical_and(kept_mask, col < dq_i[:, None])
+        ok = ~jnp.any(closer, axis=1)
+        take = jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(dq_i), count < m), ok
+        )
+        kept_mask = kept_mask.at[:, i].set(take)
+        return kept_mask, count + take.astype(jnp.int32)
+
+    kept_mask, count = jax.lax.fori_loop(
+        0, c, step, (jnp.zeros((w, c), jnp.bool_), jnp.zeros((w,), jnp.int32))
+    )
+    # Compress kept entries to the front, preserving ascending-dist order.
+    order = jnp.argsort(~kept_mask, axis=1, stable=True)  # kept first
+    sorted_ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :m]
+    slot = jnp.arange(m, dtype=jnp.int32)[None, :]
+    kept_ids = jnp.where(slot < count[:, None], sorted_ids, -1)
+    return kept_ids, count
+
+
+class WaveSelection(NamedTuple):
+    kept_ids: jax.Array  # [W, m_sel], -1 padded
+    dist_computations: jax.Array
+    hops: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef_construction", "m_sel", "metric", "num_initializations"),
+)
+def wave_search_select(
+    vectors: jax.Array,
+    links: jax.Array,
+    num_nodes: jax.Array,
+    new_vecs: jax.Array,  # [W, d] (storage dtype)
+    *,
+    ef_construction: int,
+    m_sel: int,
+    metric: MetricType,
+    num_initializations: int = 100,
+) -> WaveSelection:
+    """Phase 1 of a wave: beam search + diversity prune for W new points.
+
+    Equivalent to the beamSearch(ef_construction) + selectNeighbors(M/2)
+    sequence inside Index::add (Index.h:368-377; selection_M = max(M/2, 1)
+    at Index.h:374).
+    """
+    qf = new_vecs.astype(jnp.float32)
+    beam = beam_search(
+        vectors,
+        links,
+        num_nodes,
+        qf,
+        ef=ef_construction,
+        metric=metric,
+        num_initializations=num_initializations,
+    )
+    safe_ids = jnp.maximum(beam.ids, 0)
+    cand_vecs = jnp.take(vectors, safe_ids, axis=0).astype(jnp.float32)
+    kept_ids, _ = select_neighbors(
+        beam.dists, beam.ids, cand_vecs, m_sel, metric
+    )
+    return WaveSelection(kept_ids, beam.dist_computations, beam.hops)
+
+
+@functools.partial(jax.jit, static_argnames=("wave",), donate_argnums=(0, 1, 2))
+def commit_nodes(
+    vectors: jax.Array,
+    links: jax.Array,
+    labels: jax.Array,
+    num_nodes: jax.Array,
+    new_vecs: jax.Array,  # [wave, d]
+    new_labels: jax.Array,  # [wave]
+    kept_ids: jax.Array,  # [wave, m_sel]
+    n_valid: jax.Array,  # scalar: real (unpadded) wave length
+    *,
+    wave: int,
+):
+    """Phase 2: allocate nodes + forward edges (Index.h:262-272, 776-779).
+
+    Padding lanes (index >= n_valid) write self-loop rows at their own slots
+    beyond the new count — harmless because num_nodes only advances by
+    n_valid and those rows are rewritten by the next wave.
+    """
+    m = links.shape[1]
+    lane = jnp.arange(wave, dtype=jnp.int32)
+    node_ids = num_nodes + lane  # [wave]
+    valid_lane = lane < n_valid
+
+    # vectors / labels
+    vectors = jax.lax.dynamic_update_slice_in_dim(
+        vectors, new_vecs.astype(vectors.dtype), num_nodes, axis=0
+    )
+    labels = jax.lax.dynamic_update_slice(labels, new_labels, (num_nodes,))
+
+    # forward links: kept ids then self-loop padding
+    m_sel = kept_ids.shape[1]
+    padded = jnp.pad(kept_ids, ((0, 0), (0, m - m_sel)), constant_values=-1)
+    fwd = jnp.where(padded >= 0, padded, node_ids[:, None])
+    fwd = jnp.where(valid_lane[:, None], fwd, node_ids[:, None])
+    links = jax.lax.dynamic_update_slice_in_dim(links, fwd, num_nodes, axis=0)
+    return vectors, links, labels, num_nodes + n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(1,))
+def back_edge_commit(
+    vectors: jax.Array,
+    links: jax.Array,
+    targets: jax.Array,  # [T] node ids (padding rows may repeat a real id? no: padded with -1 -> masked)
+    requesters: jax.Array,  # [T, R] new-node ids, -1 padded
+    *,
+    metric: MetricType,
+) -> jax.Array:
+    """Phase 3: back-edge insert/repair for all touched targets in a wave.
+
+    For each target: free self-loop slots absorb requesters in id order
+    (Index.h:783-790); on overflow the target's links are re-pruned with the
+    diversity heuristic over {existing links} + {requesters}
+    (Index.h:792-825), then self-loop padded.
+    """
+    m = links.shape[1]
+    t, r = requesters.shape
+    row_valid = targets >= 0
+    safe_targets = jnp.maximum(targets, 0)
+
+    existing = jnp.take(links, safe_targets, axis=0)  # [T, M]
+    exist_valid = existing != safe_targets[:, None]
+    req_valid = requesters >= 0
+
+    cand_ids = jnp.concatenate([existing, requesters], axis=1)  # [T, M+R]
+    cand_valid = jnp.concatenate([exist_valid, req_valid], axis=1)
+    total = jnp.sum(cand_valid, axis=1)
+    overflow = total > m
+
+    # ---- fill path: compress valid candidates to the front --------------
+    order = jnp.argsort(~cand_valid, axis=1, stable=True)
+    packed = jnp.take_along_axis(cand_ids, order, axis=1)[:, :m]
+    slot = jnp.arange(m, dtype=jnp.int32)[None, :]
+    filled = jnp.where(slot < total[:, None], packed, safe_targets[:, None])
+
+    # ---- prune path ------------------------------------------------------
+    tgt_vecs = jnp.take(vectors, safe_targets, axis=0).astype(jnp.float32)
+    safe_cand = jnp.where(cand_valid, cand_ids, 0)
+    cand_vecs = jnp.take(vectors, safe_cand, axis=0).astype(jnp.float32)
+    dists = query_block_distances(tgt_vecs, cand_vecs, metric)
+    dists = jnp.where(cand_valid, dists, jnp.inf)
+    sd, si = jax.lax.sort(
+        (dists, jnp.where(cand_valid, cand_ids, -1)),
+        dimension=1,
+        num_keys=1,
+        is_stable=True,
+    )
+    sv = jnp.take_along_axis(
+        cand_vecs,
+        jnp.argsort(dists, axis=1, stable=True)[:, :, None],
+        axis=1,
+    )
+    kept_ids, count = select_neighbors(sd, si, sv, m, metric)
+    pruned = jnp.where(kept_ids >= 0, kept_ids, safe_targets[:, None])
+
+    new_rows = jnp.where(overflow[:, None], pruned, filled)
+    new_rows = jnp.where(row_valid[:, None], new_rows, existing)
+    return links.at[safe_targets].set(new_rows)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wave orchestration
+# ---------------------------------------------------------------------------
+
+#: power-of-two shape buckets used to bound jit recompilation
+_MIN_WAVE = 64
+_MAX_WAVE = 8192
+
+
+def _wave_size(committed: int, remaining: int, max_wave: int) -> int:
+    """Geometric ramp: a wave is at most the committed prefix size (so no
+    point's search misses more than half the final neighborhood), capped."""
+    return int(min(max(committed, _MIN_WAVE), max_wave, remaining))
+
+
+def add_batch(
+    graph: GraphArrays,
+    data: np.ndarray,
+    labels: np.ndarray,
+    *,
+    ef_construction: int,
+    metric: MetricType,
+    num_initializations: int = 100,
+    max_wave: int = _MAX_WAVE,
+    stats: dict | None = None,
+) -> GraphArrays:
+    """Insert `data` ([n, d]) with `labels` ([n]) into the index.
+
+    Host-side analog of Index::addBatch (Index.h:300-329): orchestrates the
+    wave loop; all per-point math runs on device.
+    """
+    n = data.shape[0]
+    cap = graph.capacity
+    m = graph.max_edges
+    m_sel = max(m // 2, 1)  # Index.h:374
+    committed = int(graph.num_nodes)
+    if committed + n > cap:
+        raise RuntimeError(
+            "Maximum number of nodes reached. Consider increasing the "
+            "`max_node_count` parameter to create a larger index."
+        )  # message parity with Index.h:356-359
+
+    vectors, links, lab = graph.vectors, graph.links, graph.labels
+    num_nodes = graph.num_nodes
+    pos = 0
+    data = np.ascontiguousarray(data)
+    labels = np.asarray(labels, dtype=np.int32)
+
+    # Bootstrap: the very first node gets no edges (Index.h:369-371:
+    # new_node_id == 0 returns right after allocation).
+    if committed == 0:
+        first_vec = jnp.asarray(data[:1]).astype(vectors.dtype)
+        vectors = jax.lax.dynamic_update_slice_in_dim(vectors, first_vec, 0, axis=0)
+        lab = lab.at[0].set(int(labels[0]))
+        num_nodes = jnp.asarray(1, jnp.int32)
+        committed = 1
+        pos = 1
+
+    while pos < n:
+        w = _wave_size(committed, n - pos, max_wave)
+        bucket = max(_next_pow2(w), _MIN_WAVE)
+        wave_data = data[pos : pos + w]
+        wave_labels = labels[pos : pos + w]
+        if w < bucket:  # pad lanes with the first row; masked out by n_valid
+            pad = bucket - w
+            wave_data = np.concatenate([wave_data, np.repeat(wave_data[:1], pad, 0)])
+            wave_labels = np.concatenate([wave_labels, np.zeros(pad, np.int32)])
+
+        new_vecs = jnp.asarray(wave_data)
+        sel = wave_search_select(
+            vectors,
+            links,
+            num_nodes,
+            new_vecs,
+            ef_construction=ef_construction,
+            m_sel=m_sel,
+            metric=metric,
+            num_initializations=num_initializations,
+        )
+        if stats is not None:
+            stats["distance_computations"] = stats.get(
+                "distance_computations", 0
+            ) + int(sel.dist_computations)
+            stats["hops"] = stats.get("hops", 0) + int(sel.hops)
+
+        vectors, links, lab, num_nodes = commit_nodes(
+            vectors,
+            links,
+            lab,
+            num_nodes,
+            new_vecs,
+            jnp.asarray(wave_labels),
+            sel.kept_ids,
+            jnp.asarray(w, jnp.int32),
+            wave=bucket,
+        )
+
+        # ---- back edges (host grouping, device compute) ------------------
+        kept = np.asarray(sel.kept_ids[:w])  # [w, m_sel]
+        src = committed + np.arange(w, dtype=np.int32)
+        tgt = kept.reshape(-1)
+        src_rep = np.repeat(src, m_sel)
+        sel_mask = tgt >= 0
+        tgt, src_rep = tgt[sel_mask], src_rep[sel_mask]
+        if tgt.size:
+            order = np.lexsort((src_rep, tgt))  # by target, then source id
+            tgt, src_rep = tgt[order], src_rep[order]
+            uniq, start_idx, counts = np.unique(
+                tgt, return_index=True, return_counts=True
+            )
+            r_max = max(int(counts.max()), 1)
+            r_bucket = _next_pow2(r_max)
+            t_bucket = max(_next_pow2(len(uniq)), 8)
+            req = np.full((t_bucket, r_bucket), -1, np.int32)
+            col = np.arange(len(tgt)) - np.repeat(start_idx, counts)
+            rowi = np.repeat(np.arange(len(uniq)), counts)
+            req[rowi, col] = src_rep
+            tgt_arr = np.full(t_bucket, -1, np.int32)
+            tgt_arr[: len(uniq)] = uniq
+            links = back_edge_commit(
+                vectors,
+                links,
+                jnp.asarray(tgt_arr),
+                jnp.asarray(req),
+                metric=metric,
+            )
+
+        committed += w
+        pos += w
+
+    return GraphArrays(vectors, links, lab, num_nodes)

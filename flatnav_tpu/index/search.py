@@ -1,0 +1,253 @@
+"""Batched greedy beam search over the flat navigable-small-world graph.
+
+This is the TPU-native re-design of the reference's query engine
+(/root/reference/include/flatnav/index/Index.h): one jit-compiled program
+advances a whole batch of queries in lockstep through the graph instead of
+one CPU thread chasing pointers per query.
+
+Mapping from the reference:
+
+  * `beamSearch` + `processCandidateNode` (Index.h:606-707): the two heaps
+    (bounded max-heap `neighbors`, unbounded min-heap `candidates`) are
+    merged into one fixed-size sorted *beam* of (distance, id, expanded)
+    triples per query. Each hop expands the best unexpanded beam entry,
+    gathers its M neighbor rows, evaluates distances for unvisited ones, and
+    merges them back with a key-value sort + truncate (the top-k analog of
+    heap eviction at Index.h:693-704). This "expand best unexpanded in the
+    top-ef frontier" formulation is the standard batched/array variant of
+    HNSW beam search; the only semantic difference is that a candidate
+    evicted from the top-ef frontier is never expanded, which the reference
+    could do — acceptance is recall-based, mirroring how the reference
+    itself validates parallel inserts (test_parallel_insertions.py).
+
+  * Termination: the reference breaks when the best candidate is worse than
+    the worst of a full result heap (Index.h:630-632). In the merged-beam
+    form that condition is subsumed: a query is done exactly when its beam
+    holds no unexpanded entry. The batch finishes when all queries are done
+    (`lax.while_loop` predicate), matching the reference's per-thread loop.
+
+  * VisitedSet (util/VisitedSetPool.h): the byte-per-node table with a
+    generation mark becomes a bit-packed `[B, ceil(cap/32)] uint32` mask,
+    one row per in-flight query; the pool abstraction disappears because
+    the mask is allocated per batch inside the jit program. Mark-visited is
+    an exact bitwise OR expressed as scatter-add: per hop we add each fresh
+    neighbor's bit exactly once (duplicates within the hop are removed with
+    a first-occurrence mask, and already-set bits are excluded because
+    their nodes are, by definition, visited).
+
+  * `initializeSearch` (Index.h:845-870): the strided entry-point scan is a
+    single [B, num_init] distance block + argmin. (When 0 < num_nodes mod
+    step, the reference scans up to num_init+1 points; we scan exactly
+    num_init — an off-by-one the recall tests are insensitive to.)
+
+  * Stats: `_distance_computations` / `_metric_hops` atomics
+    (Index.h:83-84, 689-691, 857-859) become jit-carried scalar counters
+    returned with the results.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flatnav_tpu.ops.distances import (
+    MetricType,
+    pairwise_distances,
+    query_block_distances,
+)
+
+
+class BeamResults(NamedTuple):
+    dists: jax.Array  # [B, ef] ascending, +inf padding
+    ids: jax.Array  # [B, ef] node ids (meaningless where dist == +inf)
+    dist_computations: jax.Array  # scalar int64-ish counter (int32)
+    hops: jax.Array  # scalar: total expansion steps across the batch
+
+
+class SearchResults(NamedTuple):
+    dists: jax.Array  # [B, K]
+    labels: jax.Array  # [B, K]
+    dist_computations: jax.Array
+    hops: jax.Array
+
+
+def _entry_points(
+    vectors: jax.Array,
+    num_nodes: jax.Array,
+    queries: jax.Array,
+    num_initializations: int,
+    metric: MetricType,
+):
+    """Batched analog of Index::initializeSearch (Index.h:845-870)."""
+    step = jnp.maximum(num_nodes // num_initializations, 1)
+    cand = jnp.arange(num_initializations, dtype=jnp.int32) * step
+    valid = cand < num_nodes
+    cand = jnp.where(valid, cand, 0)
+    rows = jnp.take(vectors, cand, axis=0)
+    d = pairwise_distances(queries, rows, metric)  # [B, num_init]
+    d = jnp.where(valid[None, :], d, jnp.inf)
+    best = jnp.argmin(d, axis=1)
+    entry_ids = cand[best]
+    entry_dists = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    return entry_ids, entry_dists
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
+)
+def beam_search(
+    vectors: jax.Array,
+    links: jax.Array,
+    num_nodes: jax.Array,
+    queries: jax.Array,
+    *,
+    ef: int,
+    metric: MetricType = MetricType.L2,
+    num_initializations: int = 100,
+    max_hops: int = 0,
+) -> BeamResults:
+    """Run batched beam search; returns the full ef-wide beam per query.
+
+    vectors: [cap, d] (any supported storage dtype)
+    links:   [cap, M] int32 (self-loop convention for unused slots)
+    num_nodes: scalar int32, committed prefix length
+    queries: [B, d]
+    """
+    cap = vectors.shape[0]
+    m = links.shape[1]
+    b = queries.shape[0]
+    n_words = -(-cap // 32)
+    queries = queries.astype(jnp.float32)
+    rowix = jnp.arange(b, dtype=jnp.int32)
+
+    entry_ids, entry_dists = _entry_points(
+        vectors, num_nodes, queries, num_initializations, metric
+    )
+
+    beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(entry_dists)
+    beam_i = jnp.zeros((b, ef), jnp.int32).at[:, 0].set(entry_ids)
+    beam_e = jnp.ones((b, ef), jnp.bool_).at[:, 0].set(False)
+
+    visited = jnp.zeros((b, n_words), jnp.uint32)
+    visited = visited.at[rowix, entry_ids >> 5].add(
+        jnp.left_shift(jnp.uint32(1), (entry_ids & 31).astype(jnp.uint32))
+    )
+
+    # Reference adds num_initializations to the counter up front
+    # (Index.h:857-859) plus 1 for the entry-node distance (Index.h:619).
+    dcomp0 = jnp.asarray(b * (num_initializations + 1), jnp.int32)
+
+    # First-occurrence mask scaffolding for intra-hop dedup.
+    lower_tri = jnp.tril(jnp.ones((m, m), jnp.bool_), k=-1)
+
+    def cond(state):
+        _, _, beam_e, _, _, _, it = state
+        alive = jnp.any(~beam_e)
+        if max_hops:
+            alive = jnp.logical_and(alive, it < max_hops)
+        return alive
+
+    def body(state):
+        beam_d, beam_i, beam_e, visited, dcomp, hops, it = state
+        unexp = ~beam_e
+        active = jnp.any(unexp, axis=1)  # [B]
+        sel = jnp.argmax(unexp, axis=1)  # first unexpanded = best (sorted)
+        cur_id = jnp.where(active, beam_i[rowix, sel], 0)
+        beam_e = beam_e.at[rowix, sel].set(True)
+
+        nbrs = jnp.take(links, cur_id, axis=0)  # [B, M]
+        words = nbrs >> 5
+        bits = jnp.left_shift(jnp.uint32(1), (nbrs & 31).astype(jnp.uint32))
+        vis_words = jnp.take_along_axis(visited, words, axis=1)
+        fresh = (vis_words & bits) == 0
+        fresh = jnp.logical_and(fresh, active[:, None])
+        # Keep only the first occurrence of each id within the hop so the
+        # scatter-add below is an exact bitwise OR.
+        dup = nbrs[:, :, None] == nbrs[:, None, :]
+        first_occ = ~jnp.any(dup & lower_tri[None], axis=2)
+        fresh = jnp.logical_and(fresh, first_occ)
+
+        visited = visited.at[rowix[:, None], words].add(
+            jnp.where(fresh, bits, jnp.uint32(0))
+        )
+
+        vecs = jnp.take(vectors, nbrs, axis=0)  # [B, M, d] gather (hot)
+        nd = query_block_distances(queries, vecs, metric)
+        nd = jnp.where(fresh, nd, jnp.inf)
+
+        dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
+        hops = hops + jnp.sum(active, dtype=jnp.int32)
+
+        all_d = jnp.concatenate([beam_d, nd], axis=1)
+        all_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        all_e = jnp.concatenate([beam_e, ~fresh], axis=1)
+        sd, si, se = jax.lax.sort(
+            (all_d, all_i, all_e), dimension=1, num_keys=1, is_stable=True
+        )
+        return (
+            sd[:, :ef],
+            si[:, :ef],
+            se[:, :ef],
+            visited,
+            dcomp,
+            hops,
+            it + 1,
+        )
+
+    state = (
+        beam_d,
+        beam_i,
+        beam_e,
+        visited,
+        dcomp0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+    beam_d, beam_i, _, _, dcomp, hops, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return BeamResults(beam_d, beam_i, dcomp, hops)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "metric", "num_initializations", "max_hops"),
+)
+def batched_search(
+    vectors: jax.Array,
+    links: jax.Array,
+    labels: jax.Array,
+    num_nodes: jax.Array,
+    queries: jax.Array,
+    *,
+    k: int,
+    ef: int,
+    metric: MetricType = MetricType.L2,
+    num_initializations: int = 100,
+    max_hops: int = 0,
+) -> SearchResults:
+    """Top-K search: Index::search (Index.h:387-409) over a query batch.
+
+    `ef` is clamped up to at least k by the caller-facing API, matching
+    `std::max(ef_search, K)` at Index.h:390.
+    """
+    beam = beam_search(
+        vectors,
+        links,
+        num_nodes,
+        queries,
+        ef=max(ef, k),
+        metric=metric,
+        num_initializations=num_initializations,
+        max_hops=max_hops,
+    )
+    top_d = beam.dists[:, :k]
+    top_i = beam.ids[:, :k]
+    top_labels = jnp.where(
+        jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
+    )
+    return SearchResults(top_d, top_labels, beam.dist_computations, beam.hops)

@@ -1,0 +1,65 @@
+"""Flat index serialization: save/load of the three dense arrays + metadata.
+
+Replaces the reference's cereal binary archive (Index::saveIndex/loadIndex,
+/root/reference/include/flatnav/index/Index.h:134-141, 442-490) with a
+single .npz file holding {vectors, links, labels} plus a JSON metadata
+blob. The reference serializes the entire arena including unused capacity
+(Index.h:139-140); we store only the committed prefix and record the
+capacity in metadata, rebuilding the self-loop padding on load — the
+reloaded index must produce bit-identical search results
+(test_serialization.cpp:64-75 is the contract, mirrored in our tests).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from flatnav_tpu.index.graph import GraphArrays, graph_from_numpy
+from flatnav_tpu.ops.distances import MetricType
+
+_FORMAT_VERSION = 1
+
+
+def save_index(path: str, graph: GraphArrays, metric: MetricType, extra: dict | None = None) -> None:
+    n = int(graph.num_nodes)
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "metric": metric.value,
+        "dim": graph.dim,
+        "max_edges": graph.max_edges,
+        "capacity": graph.capacity,
+        "num_nodes": n,
+        "dtype": str(np.asarray(graph.vectors[:1]).dtype),
+    }
+    if extra:
+        meta.update(extra)
+    np.savez(
+        path,
+        vectors=np.asarray(graph.vectors[:n]),
+        links=np.asarray(graph.links[:n]),
+        labels=np.asarray(graph.labels[:n]),
+        metadata=np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ),
+    )
+
+
+def load_index(path: str):
+    """Returns (GraphArrays, metric, metadata dict)."""
+    with np.load(path if path.endswith(".npz") else path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["metadata"]).decode("utf-8"))
+        if meta.get("format_version", 0) > _FORMAT_VERSION:
+            raise ValueError(
+                f"Index file {path} has format version "
+                f"{meta['format_version']} > supported {_FORMAT_VERSION}"
+            )
+        graph = graph_from_numpy(
+            z["vectors"],
+            z["links"],
+            z["labels"],
+            num_nodes=meta["num_nodes"],
+            capacity=meta["capacity"],
+        )
+    return graph, MetricType(meta["metric"]), meta

@@ -1,0 +1,7 @@
+from flatnav_tpu.ops.distances import (  # noqa: F401
+    MetricType,
+    brute_force_knn,
+    pairwise_distances,
+    query_block_distances,
+    squared_norms,
+)

@@ -1,0 +1,103 @@
+"""Distance kernels vs a numpy oracle.
+
+Mirrors the reference's tier-1 tests
+(/root/reference/include/flatnav/tests/test_distances.cpp): every kernel is
+checked against a scalar/numpy reference on random data, including
+non-aligned dims (100, 37, 7) and integer dtypes. Our tolerance is much
+tighter than the reference's 1e-2 (test_distances.cpp:28-31) because fp32
+matmul on CPU/TPU is well-behaved.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatnav_tpu.ops import (
+    MetricType,
+    brute_force_knn,
+    pairwise_distances,
+    query_block_distances,
+)
+
+DIMS = [128, 100, 37, 7, 960]
+
+
+def np_l2(x, y):
+    x = x.astype(np.float64)
+    y = y.astype(np.float64)
+    return ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+
+
+def np_ip(x, y):
+    return 1.0 - x.astype(np.float64) @ y.astype(np.float64).T
+
+
+@pytest.mark.parametrize("dim", DIMS)
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_pairwise_matches_numpy_f32(rng, dim, metric):
+    x = rng.standard_normal((13, dim), dtype=np.float32)
+    y = rng.standard_normal((29, dim), dtype=np.float32)
+    got = np.asarray(pairwise_distances(jnp.asarray(x), jnp.asarray(y), metric))
+    want = np_l2(x, y) if metric == MetricType.L2 else np_ip(x, y)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3 * dim)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int8])
+def test_pairwise_integer_dtypes_exact(rng, dtype):
+    # Integer inputs must produce exact float32 results (values are small
+    # enough); mirrors the reference's uint8/int8 kernels
+    # (SquaredL2SimdExtensions.cpp:32-76, IPDistanceDispatcher.h:79-93).
+    info = np.iinfo(dtype)
+    x = rng.integers(info.min, info.max + 1, (9, 128)).astype(dtype)
+    y = rng.integers(info.min, info.max + 1, (17, 128)).astype(dtype)
+    got = np.asarray(
+        pairwise_distances(jnp.asarray(x), jnp.asarray(y), MetricType.L2)
+    )
+    want = np_l2(x, y)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_query_block_distances(rng, metric):
+    b, m, d = 11, 32, 64
+    q = rng.standard_normal((b, d), dtype=np.float32)
+    blocks = rng.standard_normal((b, m, d), dtype=np.float32)
+    got = np.asarray(
+        query_block_distances(jnp.asarray(q), jnp.asarray(blocks), metric)
+    )
+    if metric == MetricType.L2:
+        want = ((q[:, None, :] - blocks) ** 2).sum(-1)
+    else:
+        want = 1.0 - (q[:, None, :] * blocks).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_brute_force_knn_exact(rng, metric):
+    n, d, b, k = 5000, 48, 37, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((b, d), dtype=np.float32)
+    dists, ids = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(q), k, metric, tile_size=512
+    )
+    full = np_l2(q, data) if metric == MetricType.L2 else np_ip(q, data)
+    want_ids = np.argsort(full, axis=1, kind="stable")[:, :k]
+    # Compare by distance values (ties may legitimately permute ids).
+    want_d = np.take_along_axis(full, want_ids, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(dists), want_d, rtol=1e-4, atol=1e-3
+    )
+    assert np.mean(np.asarray(ids) == want_ids) > 0.99
+
+
+def test_brute_force_knn_non_multiple_tile(rng):
+    # n deliberately not a multiple of tile_size: padding must not leak.
+    n, d = 1000, 16
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = data[:5] + 1e-4
+    dists, ids = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(q), 3, MetricType.L2, tile_size=384
+    )
+    assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
+    assert np.all(np.asarray(dists)[:, 0] < 1e-4)
+    assert np.all(np.asarray(ids) < n)
