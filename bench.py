@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched-query QPS at recall@10 >= 0.95.
+
+Config 1 from BASELINE.json: random 100K x 128-d float32, L2, M=32,
+ef_construction=100, k=10 — the README-quickstart-scale workload. Build the
+index on device, sweep ef_search upward until recall@10 >= 0.95 against
+exact on-device ground truth, then measure steady-state batched QPS at that
+operating point.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
+
+vs_baseline compares against the reference C++ engine's single-core QPS at
+the same recall on the same workload, read from baseline_ref.json if present
+(produced by tools/run_reference_baseline.sh, which builds the reference
+headers on this machine); otherwise a conservative published-hardware
+estimate is used and flagged in the auxiliary fields.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from flatnav_tpu.index import batched_search  # noqa: E402
+from flatnav_tpu.index.build import add_batch  # noqa: E402
+from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
+from flatnav_tpu.ops import MetricType, brute_force_knn  # noqa: E402
+
+# Reference single-core AVX baseline (QPS at recall@10 ~= 0.95 on the same
+# random-100K workload). Measured by tools/run_reference_baseline.sh when
+# possible; this fallback is a generous estimate for a modern AVX512 core
+# (the north-star target is >= 10x this).
+_FALLBACK_REF_QPS = 5000.0
+
+
+def _recall(found: np.ndarray, truth: np.ndarray) -> float:
+    hits = sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found, truth)
+    )
+    return hits / truth.size
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--m", type=int, default=32)
+    ap.add_argument("--ef-construction", type=int, default=100)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--num-queries", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--target-recall", type=float, default=0.95)
+    ap.add_argument("--repeats", type=int, default=5)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0x5EED)
+    data = rng.standard_normal((args.n, args.dim), dtype=np.float32)
+    queries = rng.standard_normal(
+        (args.num_queries, args.dim), dtype=np.float32
+    )
+
+    t0 = time.time()
+    g = make_empty_graph(args.n, args.dim, args.m)
+    g = add_batch(
+        g,
+        data,
+        np.arange(args.n),
+        ef_construction=args.ef_construction,
+        metric=MetricType.L2,
+    )
+    jax.block_until_ready(g.links)
+    build_s = time.time() - t0
+
+    gt_d, gt_i = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(queries), args.k, MetricType.L2
+    )
+    gt = np.asarray(gt_i)
+
+    q_dev = jnp.asarray(queries)
+
+    def run(ef: int):
+        outs = []
+        for lo in range(0, args.num_queries, args.batch):
+            res = batched_search(
+                g.vectors,
+                g.links,
+                g.labels,
+                g.num_nodes,
+                q_dev[lo : lo + args.batch],
+                k=args.k,
+                ef=ef,
+                metric=MetricType.L2,
+            )
+            outs.append(res.labels)
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+    # find the operating point
+    chosen_ef, recall = None, 0.0
+    for ef in (32, 48, 64, 96, 128, 192, 256, 384, 512):
+        found = run(ef)
+        recall = _recall(found, gt)
+        if recall >= args.target_recall:
+            chosen_ef = ef
+            break
+    if chosen_ef is None:
+        chosen_ef = 512
+
+    # steady-state timing (compile already done by the recall sweep)
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.time()
+        for lo in range(0, args.num_queries, args.batch):
+            res = batched_search(
+                g.vectors,
+                g.links,
+                g.labels,
+                g.num_nodes,
+                q_dev[lo : lo + args.batch],
+                k=args.k,
+                ef=chosen_ef,
+                metric=MetricType.L2,
+            )
+        jax.block_until_ready(res.labels)
+        times.append(time.time() - t0)
+    qps = args.num_queries / min(times)
+
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baseline_ref.json"
+    )
+    ref_qps, ref_measured = _FALLBACK_REF_QPS, False
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        if ref.get("qps"):
+            ref_qps, ref_measured = float(ref["qps"]), True
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"qps@recall{args.target_recall}_random"
+                    f"{args.n // 1000}k_d{args.dim}_k{args.k}"
+                ),
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / ref_qps, 2),
+                "recall": round(recall, 4),
+                "ef_search": chosen_ef,
+                "build_seconds": round(build_s, 1),
+                "baseline_qps": ref_qps,
+                "baseline_measured": ref_measured,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,4 @@
+from flatnav_tpu.index.api import Index, create, load_index  # noqa: F401
 from flatnav_tpu.index.graph import (  # noqa: F401
     GraphArrays,
     graph_from_numpy,

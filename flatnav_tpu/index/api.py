@@ -288,7 +288,8 @@ class Index:
         )
         labels_dev = g.labels.at[n0 : n0 + n].set(jnp.asarray(labels_arr))
         self._graph = GraphArrays(
-            vectors, g.links, labels_dev, jnp.asarray(n0 + n, jnp.int32)
+            vectors, g.links, labels_dev, jnp.asarray(n0 + n, jnp.int32),
+            g.capacity,
         )
         return self
 
@@ -324,7 +325,7 @@ class Index:
             links[i, : len(row)] = row
         g = self._graph
         new_links = g.links.at[:n].set(jnp.asarray(links))
-        self._graph = GraphArrays(g.vectors, new_links, g.labels, g.num_nodes)
+        self._graph = GraphArrays(g.vectors, new_links, g.labels, g.num_nodes, g.capacity)
 
     # ------------------------------------------------------------- reordering
     def reorder(self, strategies: Sequence[str]) -> None:
@@ -362,6 +363,7 @@ class Index:
             g.links.at[:n].set(jnp.asarray(links)),
             g.labels.at[:n].set(jnp.asarray(labels)),
             g.num_nodes,
+            g.capacity,
         )
         self._graph = new_g
 

@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flatnav_tpu.index.graph import GraphArrays
+from flatnav_tpu.index.graph import MAX_WAVE, GraphArrays
 from flatnav_tpu.index.search import beam_search
 from flatnav_tpu.ops.distances import (
     MetricType,
@@ -110,24 +110,43 @@ class WaveSelection(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef_construction", "m_sel", "metric", "num_initializations"),
+    static_argnames=(
+        "ef_construction",
+        "m_sel",
+        "metric",
+        "num_initializations",
+        "intra_candidates",
+    ),
 )
 def wave_search_select(
     vectors: jax.Array,
     links: jax.Array,
     num_nodes: jax.Array,
     new_vecs: jax.Array,  # [W, d] (storage dtype)
+    n_valid: jax.Array,  # scalar: real (unpadded) wave length
     *,
     ef_construction: int,
     m_sel: int,
     metric: MetricType,
     num_initializations: int = 100,
+    intra_candidates: int = 0,
 ) -> WaveSelection:
     """Phase 1 of a wave: beam search + diversity prune for W new points.
 
     Equivalent to the beamSearch(ef_construction) + selectNeighbors(M/2)
     sequence inside Index::add (Index.h:368-377; selection_M = max(M/2, 1)
     at Index.h:374).
+
+    Intra-wave visibility: under the reference's sequential semantics every
+    insert sees all earlier points; a naive wave sees only the committed
+    prefix, which degrades the graph for large waves. We restore the
+    sequential view TPU-style: one [W, W] MXU distance block between wave
+    members provides each lane with its `intra_candidates` *exact* nearest
+    earlier-lane peers (ids n0 + lane), merged into the candidate set
+    before pruning. Earlier-lane masking keeps the "sees all earlier
+    points" invariant and determinism; exactness means intra-wave
+    candidates are at least as good as what a sequential beam search would
+    have found.
     """
     qf = new_vecs.astype(jnp.float32)
     beam = beam_search(
@@ -139,51 +158,72 @@ def wave_search_select(
         metric=metric,
         num_initializations=num_initializations,
     )
-    safe_ids = jnp.maximum(beam.ids, 0)
+    cand_d, cand_i = beam.dists, beam.ids
+
+    w = new_vecs.shape[0]
+    c2 = min(intra_candidates, w) if intra_candidates else 0
+    if c2 > 0:
+        intra = pairwise_distances(qf, qf, metric)  # [W, W]
+        lane = jnp.arange(w, dtype=jnp.int32)
+        allowed = jnp.logical_and(
+            lane[None, :] < lane[:, None], lane[None, :] < n_valid
+        )
+        intra = jnp.where(allowed, intra, jnp.inf)
+        neg_top, idx = jax.lax.top_k(-intra, c2)
+        intra_d = -neg_top
+        intra_ids = jnp.where(
+            jnp.isfinite(intra_d), num_nodes + idx, -1
+        )
+        cand_d = jnp.concatenate([cand_d, intra_d], axis=1)
+        cand_i = jnp.concatenate([cand_i, intra_ids], axis=1)
+        cand_d, cand_i = jax.lax.sort(
+            (cand_d, cand_i), dimension=1, num_keys=1, is_stable=True
+        )
+
+    safe_ids = jnp.maximum(cand_i, 0)
     cand_vecs = jnp.take(vectors, safe_ids, axis=0).astype(jnp.float32)
-    kept_ids, _ = select_neighbors(
-        beam.dists, beam.ids, cand_vecs, m_sel, metric
-    )
+    kept_ids, _ = select_neighbors(cand_d, cand_i, cand_vecs, m_sel, metric)
     return WaveSelection(kept_ids, beam.dist_computations, beam.hops)
 
 
-@functools.partial(jax.jit, static_argnames=("wave",), donate_argnums=(0, 1, 2))
-def commit_nodes(
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def commit_vectors(
     vectors: jax.Array,
-    links: jax.Array,
     labels: jax.Array,
     num_nodes: jax.Array,
     new_vecs: jax.Array,  # [wave, d]
     new_labels: jax.Array,  # [wave]
-    kept_ids: jax.Array,  # [wave, m_sel]
-    n_valid: jax.Array,  # scalar: real (unpadded) wave length
-    *,
-    wave: int,
 ):
-    """Phase 2: allocate nodes + forward edges (Index.h:262-272, 776-779).
-
-    Padding lanes (index >= n_valid) write self-loop rows at their own slots
-    beyond the new count — harmless because num_nodes only advances by
-    n_valid and those rows are rewritten by the next wave.
-    """
-    m = links.shape[1]
-    lane = jnp.arange(wave, dtype=jnp.int32)
-    node_ids = num_nodes + lane  # [wave]
-    valid_lane = lane < n_valid
-
-    # vectors / labels
+    """Allocate node data (the transformData copy of allocateNode,
+    Index.h:262-267) for a whole wave. Runs *before* the wave search so
+    intra-wave candidate ids (n0 + lane) are gatherable from `vectors`.
+    Padding-lane rows beyond n_valid are rewritten by the next wave."""
     vectors = jax.lax.dynamic_update_slice_in_dim(
         vectors, new_vecs.astype(vectors.dtype), num_nodes, axis=0
     )
     labels = jax.lax.dynamic_update_slice(labels, new_labels, (num_nodes,))
+    return vectors, labels
 
-    # forward links: kept ids then self-loop padding
-    m_sel = kept_ids.shape[1]
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def commit_links(
+    links: jax.Array,
+    num_nodes: jax.Array,
+    kept_ids: jax.Array,  # [wave, m_sel]
+    n_valid: jax.Array,  # scalar: real (unpadded) wave length
+):
+    """Forward edges + self-loop init of allocateNode/connectNeighbors
+    (Index.h:269-270, 776-779); advances the committed count."""
+    m = links.shape[1]
+    wave, m_sel = kept_ids.shape
+    lane = jnp.arange(wave, dtype=jnp.int32)
+    node_ids = num_nodes + lane
+    valid_lane = lane < n_valid
     padded = jnp.pad(kept_ids, ((0, 0), (0, m - m_sel)), constant_values=-1)
     fwd = jnp.where(padded >= 0, padded, node_ids[:, None])
     fwd = jnp.where(valid_lane[:, None], fwd, node_ids[:, None])
     links = jax.lax.dynamic_update_slice_in_dim(links, fwd, num_nodes, axis=0)
-    return vectors, links, labels, num_nodes + n_valid
+    return links, num_nodes + n_valid
 
 
 @functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(1,))
@@ -205,7 +245,10 @@ def back_edge_commit(
     m = links.shape[1]
     t, r = requesters.shape
     row_valid = targets >= 0
-    safe_targets = jnp.maximum(targets, 0)
+    # Padding lanes write the dedicated scratch row (links.shape[0]-1) so a
+    # duplicate-index scatter can never race a real row's update.
+    scratch = jnp.int32(links.shape[0] - 1)
+    safe_targets = jnp.where(row_valid, targets, scratch)
 
     existing = jnp.take(links, safe_targets, axis=0)  # [T, M]
     exist_valid = existing != safe_targets[:, None]
@@ -253,7 +296,7 @@ def back_edge_commit(
 
 #: power-of-two shape buckets used to bound jit recompilation
 _MIN_WAVE = 64
-_MAX_WAVE = 8192
+_MAX_WAVE = MAX_WAVE
 
 
 def _wave_size(committed: int, remaining: int, max_wave: int) -> int:
@@ -271,6 +314,7 @@ def add_batch(
     metric: MetricType,
     num_initializations: int = 100,
     max_wave: int = _MAX_WAVE,
+    intra_candidates: int | None = None,
     stats: dict | None = None,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
@@ -282,6 +326,9 @@ def add_batch(
     cap = graph.capacity
     m = graph.max_edges
     m_sel = max(m // 2, 1)  # Index.h:374
+    if intra_candidates is None:
+        intra_candidates = 2 * m_sel
+    max_wave = min(max_wave, _MAX_WAVE)
     committed = int(graph.num_nodes)
     if committed + n > cap:
         raise RuntimeError(
@@ -316,15 +363,21 @@ def add_batch(
             wave_labels = np.concatenate([wave_labels, np.zeros(pad, np.int32)])
 
         new_vecs = jnp.asarray(wave_data)
+        n_valid = jnp.asarray(w, jnp.int32)
+        vectors, lab = commit_vectors(
+            vectors, lab, num_nodes, new_vecs, jnp.asarray(wave_labels)
+        )
         sel = wave_search_select(
             vectors,
             links,
             num_nodes,
             new_vecs,
+            n_valid,
             ef_construction=ef_construction,
             m_sel=m_sel,
             metric=metric,
             num_initializations=num_initializations,
+            intra_candidates=intra_candidates,
         )
         if stats is not None:
             stats["distance_computations"] = stats.get(
@@ -332,16 +385,8 @@ def add_batch(
             ) + int(sel.dist_computations)
             stats["hops"] = stats.get("hops", 0) + int(sel.hops)
 
-        vectors, links, lab, num_nodes = commit_nodes(
-            vectors,
-            links,
-            lab,
-            num_nodes,
-            new_vecs,
-            jnp.asarray(wave_labels),
-            sel.kept_ids,
-            jnp.asarray(w, jnp.int32),
-            wave=bucket,
+        links, num_nodes = commit_links(
+            links, num_nodes, sel.kept_ids, n_valid
         )
 
         # ---- back edges (host grouping, device compute) ------------------
@@ -377,4 +422,4 @@ def add_batch(
         committed += w
         pos += w
 
-    return GraphArrays(vectors, links, lab, num_nodes)
+    return GraphArrays(vectors, links, lab, num_nodes, graph.capacity)

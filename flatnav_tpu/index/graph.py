@@ -20,6 +20,20 @@ are expanded.
 
 Capacity is fixed at creation, exactly like the reference (Index.h:355-360):
 `add` beyond capacity raises.
+
+Two allocation details protect the batched construction path:
+
+  * All row arrays are over-allocated by `wave_pad(capacity)` rows beyond
+    the logical capacity. Construction commits power-of-two-padded waves
+    with `dynamic_update_slice`, which CLAMPS out-of-range start indices —
+    without the padding, a final wave whose bucket overruns capacity would
+    silently shift its writes backward and corrupt tail rows.
+  * The links array carries one extra scratch row (its last row): batched
+    scatter updates (back-edge commits) pad their target lists to a fixed
+    shape, and padding lanes write to the scratch row so they can never
+    collide with a real row (duplicate-index scatters have unspecified
+    winner order). The scratch row is never read — gathers only use ids
+    < num_nodes <= capacity.
 """
 
 from __future__ import annotations
@@ -33,6 +47,15 @@ import numpy as np
 
 from flatnav_tpu.ops.distances import MetricType
 
+#: construction waves are padded to power-of-two buckets up to this size
+MAX_WAVE = 8192
+
+
+def wave_pad(capacity: int) -> int:
+    """Rows to over-allocate so any padded wave fits below the boundary."""
+    pow2 = 1 << max(0, (capacity - 1)).bit_length()
+    return min(MAX_WAVE, max(64, pow2))
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -41,17 +64,15 @@ class GraphArrays:
 
     `num_nodes` is carried as a device scalar so construction waves can run
     fully jitted with static shapes; the Python-level Index wrapper mirrors
-    it as a host int for validation/errors.
+    it as a host int for validation/errors. `capacity` is static pytree
+    metadata (one jit specialization per index capacity).
     """
 
-    vectors: jax.Array  # [capacity, d], storage dtype
-    links: jax.Array  # [capacity, M], int32
-    labels: jax.Array  # [capacity], int32
+    vectors: jax.Array  # [capacity + pad, d], storage dtype
+    links: jax.Array  # [capacity + pad + 1, M], int32 (last row = scratch)
+    labels: jax.Array  # [capacity + pad], int32
     num_nodes: jax.Array  # scalar int32
-
-    @property
-    def capacity(self) -> int:
-        return self.vectors.shape[0]
+    capacity: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def dim(self) -> int:
@@ -73,12 +94,14 @@ def make_empty_graph(
     Links are initialized to self-loops via iota so that an untouched row is
     already in the reference's "all edges unused" state (Index.h:269-270).
     """
-    iota = jnp.arange(capacity, dtype=jnp.int32)
+    rows = capacity + wave_pad(capacity)
+    iota = jnp.arange(rows + 1, dtype=jnp.int32)
     return GraphArrays(
-        vectors=jnp.zeros((capacity, dim), dtype=dtype),
-        links=jnp.broadcast_to(iota[:, None], (capacity, max_edges)).copy(),
-        labels=jnp.zeros((capacity,), dtype=jnp.int32),
+        vectors=jnp.zeros((rows, dim), dtype=dtype),
+        links=jnp.broadcast_to(iota[:, None], (rows + 1, max_edges)).copy(),
+        labels=jnp.zeros((rows,), dtype=jnp.int32),
         num_nodes=jnp.zeros((), dtype=jnp.int32),
+        capacity=capacity,
     )
 
 
@@ -99,31 +122,36 @@ def graph_from_numpy(
     imported .mtx graph, cf. Index::buildGraphLinks Index.h:187-238)."""
     n, d = vectors.shape
     cap = capacity or n
+    rows = cap + wave_pad(cap)
     m = links.shape[1]
     if labels is None:
         labels = np.arange(n, dtype=np.int32)
-    if cap > n:
-        pad_v = np.zeros((cap - n, d), vectors.dtype)
-        vectors = np.concatenate([vectors, pad_v], axis=0)
-        pad_l = np.repeat(
-            np.arange(n, cap, dtype=np.int32)[:, None], m, axis=1
-        )
-        links = np.concatenate([links.astype(np.int32), pad_l], axis=0)
-        labels = np.concatenate(
-            [labels.astype(np.int32), np.zeros(cap - n, np.int32)]
-        )
+    pad_v = np.zeros((rows - n, d), vectors.dtype)
+    vectors = np.concatenate([vectors, pad_v], axis=0)
+    pad_l = np.repeat(
+        np.arange(n, rows + 1, dtype=np.int32)[:, None], m, axis=1
+    )
+    links = np.concatenate([links.astype(np.int32), pad_l], axis=0)
+    labels = np.concatenate(
+        [labels.astype(np.int32), np.zeros(rows - n, np.int32)]
+    )
     return GraphArrays(
         vectors=jnp.asarray(vectors),
         links=jnp.asarray(links, dtype=jnp.int32),
         labels=jnp.asarray(labels, dtype=jnp.int32),
-        num_nodes=jnp.asarray(num_nodes if num_nodes is not None else n, jnp.int32),
+        num_nodes=jnp.asarray(
+            num_nodes if num_nodes is not None else n, jnp.int32
+        ),
+        capacity=cap,
     )
 
 
 __all__ = [
     "GraphArrays",
     "MetricType",
+    "MAX_WAVE",
     "make_empty_graph",
     "graph_from_numpy",
     "node_size_bytes",
+    "wave_pad",
 ]

@@ -1,0 +1,24 @@
+"""Persistent XLA compilation cache.
+
+Construction/search specialize on a handful of power-of-two shape buckets;
+on TPU each compile is expensive (remote compile in some deployments), so
+benchmarks and tools persist compiled executables across processes.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "FLATNAV_TPU_CACHE", os.path.expanduser("~/.cache/flatnav_tpu_xla")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knob — caching is best-effort

@@ -1,0 +1,162 @@
+"""Public API parity tests.
+
+Mirrors the reference's python-bindings/unit_tests/test_index.py (end-to-end
+build+query, API shape) and include/flatnav/tests/test_serialization.cpp
+(save -> load -> bit-identical search results across metric x dtype combos).
+"""
+
+import numpy as np
+import pytest
+
+import flatnav_tpu
+from flatnav_tpu.data_type import DataType
+
+
+def _recall(found, truth):
+    hits = sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found, truth)
+    )
+    return hits / truth.size
+
+
+def _brute_force_labels(data, queries, k, metric):
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops import brute_force_knn
+
+    _, ids = brute_force_knn(jnp.asarray(data), jnp.asarray(queries), k, metric)
+    return np.asarray(ids)
+
+
+def test_create_validates_distance_type():
+    with pytest.raises(ValueError, match="Invalid distance type"):
+        flatnav_tpu.index.create(
+            distance_type="cosine", dim=8, dataset_size=10, max_edges_per_node=4
+        )
+
+
+def test_end_to_end_build_query(rng):
+    n, d, k = 2000, 32, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((50, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2",
+        dim=d,
+        dataset_size=n,
+        max_edges_per_node=16,
+        collect_stats=True,
+    )
+    index.set_num_threads(4)  # compat no-op
+    index.add(data, ef_construction=64)
+    assert index.num_nodes == n
+    dists, labels = index.search(queries, K=k, ef_search=64)
+    assert dists.shape == (50, k) and labels.shape == (50, k)
+    gt = _brute_force_labels(data, queries, k, flatnav_tpu.MetricType.L2)
+    assert _recall(labels, gt) >= 0.95
+    assert index.get_query_distance_computations() > 0
+    assert index.get_query_distance_computations() == 0  # read-and-reset
+
+    # search_single agreement with batched search
+    d1, l1 = index.search_single(queries[0], K=k, ef_search=64)
+    np.testing.assert_array_equal(l1, labels[0])
+    np.testing.assert_allclose(d1, dists[0])
+
+
+@pytest.mark.parametrize("distance_type", ["l2", "angular"])
+@pytest.mark.parametrize(
+    "data_type", [DataType.float32, DataType.uint8, DataType.int8]
+)
+def test_save_load_bit_identical(rng, tmp_path, distance_type, data_type):
+    """test_serialization.cpp:36-76 contract for all 6 metric x dtype
+    combos: reloaded index returns bit-identical results."""
+    n, d, k = 600, 16, 5
+    if data_type == DataType.float32:
+        data = rng.standard_normal((n, d), dtype=np.float32)
+        queries = rng.standard_normal((20, d), dtype=np.float32)
+    else:
+        info = np.iinfo(data_type.numpy_dtype)
+        data = rng.integers(info.min, info.max + 1, (n, d)).astype(
+            data_type.numpy_dtype
+        )
+        queries = rng.integers(info.min, info.max + 1, (20, d)).astype(
+            data_type.numpy_dtype
+        )
+    index = flatnav_tpu.index.create(
+        distance_type=distance_type,
+        dim=d,
+        dataset_size=n,
+        max_edges_per_node=8,
+        index_data_type=data_type,
+    )
+    index.add(data, ef_construction=32)
+    d0, l0 = index.search(queries, K=k, ef_search=32)
+
+    path = str(tmp_path / "index.npz")
+    index.save(path)
+    reloaded = flatnav_tpu.index.load_index(path)
+    assert reloaded.num_nodes == n
+    assert reloaded.max_edges_per_node == 8
+    assert reloaded.metric == index.metric
+    assert reloaded.data_type == data_type
+    d1, l1 = reloaded.search(queries, K=k, ef_search=32)
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+
+
+def test_add_beyond_capacity_raises(rng):
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=8, dataset_size=50, max_edges_per_node=4
+    )
+    with pytest.raises(RuntimeError, match="Maximum number of nodes"):
+        index.add(
+            rng.standard_normal((60, 8), dtype=np.float32), ef_construction=16
+        )
+
+
+def test_reorder_preserves_results(rng):
+    n, d, k = 800, 16, 5
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((20, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=8
+    )
+    index.add(data, ef_construction=48)
+    gt = _brute_force_labels(data, queries, k, flatnav_tpu.MetricType.L2)
+    _, l0 = index.search(queries, K=k, ef_search=48)
+    r0 = _recall(l0, gt)
+    index.reorder(["gorder", "rcm"])
+    _, l1 = index.search(queries, K=k, ef_search=48)
+    r1 = _recall(l1, gt)
+    # reordering only relabels; recall must be essentially unchanged
+    assert abs(r0 - r1) <= 0.03
+    with pytest.raises(ValueError, match="Invalid reordering method"):
+        index.reorder(["bogus"])
+
+
+def test_mtx_import_roundtrip(rng, tmp_path):
+    """allocate_nodes + build_graph_links path (bindings.cpp:276-324,
+    Index::buildGraphLinks Index.h:187-238)."""
+    n, d, m = 200, 8, 6
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    # ring graph with skips
+    edges = []
+    for i in range(n):
+        edges.append((i, (i + 1) % n))
+        edges.append((i, (i + 7) % n))
+    path = tmp_path / "graph.mtx"
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern general\n")
+        f.write(f"{n} {n} {len(edges)}\n")
+        for a, b in edges:
+            f.write(f"{a + 1} {b + 1}\n")
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=m
+    )
+    index.allocate_nodes(data)
+    index.build_graph_links(str(path))
+    links = np.asarray(index.graph.links[:n])
+    assert (links[:, 0] == (np.arange(n) + 1) % n).all()
+    assert (links[:, 1] == (np.arange(n) + 7) % n).all()
+    # searching the imported graph works (ring is connected)
+    d0, l0 = index.search(data[:5], K=1, ef_search=200)
+    assert (l0[:, 0] == np.arange(5)).all()

@@ -1,0 +1,110 @@
+"""Construction correctness: wave-built graphs must reach reference-grade
+recall, independent of wave size (the analog of the reference's
+test_parallel_insertions.py — serial vs parallel build recall parity).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatnav_tpu.index import batched_search
+from flatnav_tpu.index.build import add_batch, select_neighbors
+from flatnav_tpu.index.graph import make_empty_graph
+from flatnav_tpu.ops import MetricType, brute_force_knn
+
+
+def _recall(found, truth):
+    hits = sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found, truth)
+    )
+    return hits / truth.size
+
+
+def _build_and_eval(data, queries, m, efc, metric, max_wave, k=10, ef=64):
+    n, d = data.shape
+    g = make_empty_graph(n, d, m)
+    g = add_batch(
+        g,
+        data,
+        np.arange(n),
+        ef_construction=efc,
+        metric=metric,
+        max_wave=max_wave,
+    )
+    assert int(g.num_nodes) == n
+    _, gt = brute_force_knn(jnp.asarray(data), jnp.asarray(queries), k, metric)
+    res = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, jnp.asarray(queries),
+        k=k, ef=ef, metric=metric,
+    )
+    return _recall(np.asarray(res.labels), np.asarray(gt)), g
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_build_recall(rng, metric):
+    n, d, m = 4000, 24, 16
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    if metric == MetricType.IP:
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+    q = rng.standard_normal((100, d), dtype=np.float32)
+    if metric == MetricType.IP:
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    # reference-grade settings (test_index.py:54-63 uses ef_c=128, ef=256)
+    r, _ = _build_and_eval(data, q, m, 128, metric, max_wave=4000, ef=128)
+    assert r >= 0.95, f"build recall {r} below reference-grade threshold"
+
+
+def test_wave_size_recall_parity(rng):
+    """Mirror of test_parallel_insertions.py: graph quality must not depend
+    on the insertion wave size (the analog of thread count)."""
+    n, d, m = 3000, 24, 16
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((100, d), dtype=np.float32)
+    r_small, _ = _build_and_eval(data, q, m, 64, MetricType.L2, max_wave=64)
+    r_large, _ = _build_and_eval(data, q, m, 64, MetricType.L2, max_wave=3000)
+    assert r_small >= 0.93 and r_large >= 0.93
+    assert abs(r_small - r_large) <= 0.05
+
+
+def test_capacity_exceeded_raises(rng):
+    g = make_empty_graph(100, 8, 4)
+    data = rng.standard_normal((101, 8), dtype=np.float32)
+    with pytest.raises(RuntimeError, match="Maximum number of nodes"):
+        add_batch(
+            g, data, np.arange(101), ef_construction=16,
+            metric=MetricType.L2,
+        )
+
+
+def test_links_stay_in_committed_range(rng):
+    n, d, m = 1500, 16, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    g = make_empty_graph(n, d, m)
+    g = add_batch(
+        g, data, np.arange(n), ef_construction=32, metric=MetricType.L2
+    )
+    links = np.asarray(g.links[:n])
+    assert links.min() >= 0 and links.max() < n
+    # no dangling -1s, self-loop convention for padding
+    deg = (links != np.arange(n)[:, None]).sum(1)
+    assert deg.mean() > m / 3
+
+
+def test_select_neighbors_keeps_diverse(rng):
+    # Three clusters; candidates from the same cluster as the closest kept
+    # one must be pruned (Index.h:739-748 heuristic).
+    q = np.zeros((1, 2), np.float32)
+    cands = np.array(
+        [[1.0, 0.0], [1.1, 0.0], [0.0, 1.5], [0.0, 1.6], [2.0, 2.0]],
+        np.float32,
+    )
+    d = ((cands - q) ** 2).sum(1)[None, :]
+    order = np.argsort(d[0])
+    cd = jnp.asarray(d[:, order])
+    ci = jnp.asarray(order[None, :].astype(np.int32))
+    cv = jnp.asarray(cands[order][None])
+    kept, count = select_neighbors(cd, ci, cv, 4, MetricType.L2)
+    kept = np.asarray(kept)[0]
+    # [1.1, 0] is dominated by [1.0, 0]; [0, 1.6] dominated by [0, 1.5]
+    assert 0 in kept and 2 in kept
+    assert 1 not in kept and 3 not in kept
