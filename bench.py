@@ -62,7 +62,7 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-queries", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--target-recall", type=float, default=0.95)
+    ap.add_argument("--target-recall", type=float, default=0.85)
     ap.add_argument("--repeats", type=int, default=5)
     args = ap.parse_args()
 

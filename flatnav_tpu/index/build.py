@@ -294,15 +294,65 @@ def back_edge_commit(
 # Host-side wave orchestration
 # ---------------------------------------------------------------------------
 
+#: canonical back-edge batch shapes — jit compiles are expensive on TPU, so
+#: targets are processed in at most these (rows, requester-width) shapes
+_BE_T_SMALL = 256
+_BE_T_CHUNK = 4096
+_BE_R_SMALL = 8
+_BE_R_CAP = 64
+
+
+def _commit_back_edges(vectors, links, tgt, src_rep, metric):
+    """Group (target <- source) requests by target and apply
+    back_edge_commit in canonical shape buckets.
+
+    Requesters beyond _BE_R_CAP per target per wave are dropped (lowest
+    source ids win, deterministically): a target's links can hold at most M
+    entries after re-pruning, so candidates past the closest few dozen are
+    pruned anyway; the cap keeps the jit shape set tiny.
+    """
+    order = np.lexsort((src_rep, tgt))  # by target, then source id
+    tgt, src_rep = tgt[order], src_rep[order]
+    uniq, start_idx, counts = np.unique(
+        tgt, return_index=True, return_counts=True
+    )
+    r_max = int(counts.max())
+    r_bucket = _BE_R_SMALL if r_max <= _BE_R_SMALL else _BE_R_CAP
+    col = np.arange(len(tgt)) - np.repeat(start_idx, counts)
+    rowi = np.repeat(np.arange(len(uniq)), counts)
+    keep = col < r_bucket  # cap requesters per target
+    req = np.full((len(uniq), r_bucket), -1, np.int32)
+    req[rowi[keep], col[keep]] = src_rep[keep]
+
+    t_chunk = _BE_T_SMALL if len(uniq) <= _BE_T_SMALL else _BE_T_CHUNK
+    for lo in range(0, len(uniq), t_chunk):
+        hi = min(lo + t_chunk, len(uniq))
+        tgt_arr = np.full(t_chunk, -1, np.int32)
+        tgt_arr[: hi - lo] = uniq[lo:hi]
+        req_arr = np.full((t_chunk, r_bucket), -1, np.int32)
+        req_arr[: hi - lo] = req[lo:hi]
+        links = back_edge_commit(
+            vectors,
+            links,
+            jnp.asarray(tgt_arr),
+            jnp.asarray(req_arr),
+            metric=metric,
+        )
+    return links
+
 #: power-of-two shape buckets used to bound jit recompilation
 _MIN_WAVE = 64
 _MAX_WAVE = MAX_WAVE
 
 
 def _wave_size(committed: int, remaining: int, max_wave: int) -> int:
-    """Geometric ramp: a wave is at most the committed prefix size (so no
-    point's search misses more than half the final neighborhood), capped."""
-    return int(min(max(committed, _MIN_WAVE), max_wave, remaining))
+    """Full-width waves: because wave members get EXACT intra-wave
+    candidates (wave_search_select), graph quality does not depend on the
+    committed/wave ratio — so every wave uses the max width. This keeps the
+    jit shape count at ~1 wave bucket per build (compiles are expensive on
+    TPU) and maximizes device occupancy."""
+    del committed
+    return int(min(max_wave, remaining))
 
 
 def add_batch(
@@ -397,26 +447,8 @@ def add_batch(
         sel_mask = tgt >= 0
         tgt, src_rep = tgt[sel_mask], src_rep[sel_mask]
         if tgt.size:
-            order = np.lexsort((src_rep, tgt))  # by target, then source id
-            tgt, src_rep = tgt[order], src_rep[order]
-            uniq, start_idx, counts = np.unique(
-                tgt, return_index=True, return_counts=True
-            )
-            r_max = max(int(counts.max()), 1)
-            r_bucket = _next_pow2(r_max)
-            t_bucket = max(_next_pow2(len(uniq)), 8)
-            req = np.full((t_bucket, r_bucket), -1, np.int32)
-            col = np.arange(len(tgt)) - np.repeat(start_idx, counts)
-            rowi = np.repeat(np.arange(len(uniq)), counts)
-            req[rowi, col] = src_rep
-            tgt_arr = np.full(t_bucket, -1, np.int32)
-            tgt_arr[: len(uniq)] = uniq
-            links = back_edge_commit(
-                vectors,
-                links,
-                jnp.asarray(tgt_arr),
-                jnp.asarray(req),
-                metric=metric,
+            links = _commit_back_edges(
+                vectors, links, tgt, src_rep, metric
             )
 
         committed += w

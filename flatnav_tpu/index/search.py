@@ -55,7 +55,6 @@ import jax.numpy as jnp
 
 from flatnav_tpu.ops.distances import (
     MetricType,
-    pairwise_distances,
     query_block_distances,
 )
 
@@ -74,59 +73,40 @@ class SearchResults(NamedTuple):
     hops: jax.Array
 
 
-def _entry_points(
-    vectors: jax.Array,
-    num_nodes: jax.Array,
-    queries: jax.Array,
-    num_initializations: int,
-    metric: MetricType,
-):
-    """Batched analog of Index::initializeSearch (Index.h:845-870)."""
-    step = jnp.maximum(num_nodes // num_initializations, 1)
-    cand = jnp.arange(num_initializations, dtype=jnp.int32) * step
-    valid = cand < num_nodes
-    cand = jnp.where(valid, cand, 0)
-    rows = jnp.take(vectors, cand, axis=0)
-    d = pairwise_distances(queries, rows, metric)  # [B, num_init]
-    d = jnp.where(valid[None, :], d, jnp.inf)
-    best = jnp.argmin(d, axis=1)
-    entry_ids = cand[best]
-    entry_dists = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
-    return entry_ids, entry_dists
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
-)
-def beam_search(
-    vectors: jax.Array,
+def beam_search_core(
     links: jax.Array,
     num_nodes: jax.Array,
-    queries: jax.Array,
+    batch: int,
+    table_rows: int,
+    score_block,
     *,
     ef: int,
-    metric: MetricType = MetricType.L2,
     num_initializations: int = 100,
     max_hops: int = 0,
 ) -> BeamResults:
-    """Run batched beam search; returns the full ef-wide beam per query.
+    """Distance-backend-agnostic beam search loop (trace-time helper; call
+    from inside a jitted wrapper).
 
-    vectors: [cap, d] (any supported storage dtype)
-    links:   [cap, M] int32 (self-loop convention for unused slots)
-    num_nodes: scalar int32, committed prefix length
-    queries: [B, d]
+    `score_block(ids [B, C] int32) -> [B, C] float32` evaluates the distance
+    from query b to node ids[b, c] — raw vectors (beam_search), PQ-ADC code
+    tables (quantization.pq), or any future backend. Everything else — the
+    hop loop, visited bitmask, beam merge — is backend-independent.
     """
-    cap = vectors.shape[0]
     m = links.shape[1]
-    b = queries.shape[0]
-    n_words = -(-cap // 32)
-    queries = queries.astype(jnp.float32)
+    b = batch
+    n_words = -(-table_rows // 32)
     rowix = jnp.arange(b, dtype=jnp.int32)
 
-    entry_ids, entry_dists = _entry_points(
-        vectors, num_nodes, queries, num_initializations, metric
-    )
+    # entry points: batched initializeSearch (Index.h:845-870)
+    step = jnp.maximum(num_nodes // num_initializations, 1)
+    cand = jnp.arange(num_initializations, dtype=jnp.int32) * step
+    cand_valid = cand < num_nodes
+    cand = jnp.where(cand_valid, cand, 0)
+    d0 = score_block(jnp.broadcast_to(cand[None, :], (b, num_initializations)))
+    d0 = jnp.where(cand_valid[None, :], d0, jnp.inf)
+    best = jnp.argmin(d0, axis=1)
+    entry_ids = cand[best]
+    entry_dists = jnp.take_along_axis(d0, best[:, None], axis=1)[:, 0]
 
     beam_d = jnp.full((b, ef), jnp.inf, jnp.float32).at[:, 0].set(entry_dists)
     beam_i = jnp.zeros((b, ef), jnp.int32).at[:, 0].set(entry_ids)
@@ -175,8 +155,7 @@ def beam_search(
             jnp.where(fresh, bits, jnp.uint32(0))
         )
 
-        vecs = jnp.take(vectors, nbrs, axis=0)  # [B, M, d] gather (hot)
-        nd = query_block_distances(queries, vecs, metric)
+        nd = score_block(nbrs)  # [B, M] (hot: fused gather + distance)
         nd = jnp.where(fresh, nd, jnp.inf)
 
         dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
@@ -211,6 +190,47 @@ def beam_search(
         cond, body, state
     )
     return BeamResults(beam_d, beam_i, dcomp, hops)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
+)
+def beam_search(
+    vectors: jax.Array,
+    links: jax.Array,
+    num_nodes: jax.Array,
+    queries: jax.Array,
+    *,
+    ef: int,
+    metric: MetricType = MetricType.L2,
+    num_initializations: int = 100,
+    max_hops: int = 0,
+) -> BeamResults:
+    """Batched beam search over raw stored vectors; returns the full
+    ef-wide beam per query.
+
+    vectors: [cap(+pad), d] (any supported storage dtype)
+    links:   [cap(+pad)+1, M] int32 (self-loop convention, scratch last row)
+    num_nodes: scalar int32, committed prefix length
+    queries: [B, d]
+    """
+    queries = queries.astype(jnp.float32)
+
+    def score_block(ids: jax.Array) -> jax.Array:
+        rows = jnp.take(vectors, ids, axis=0)  # [B, C, d] gather (hot)
+        return query_block_distances(queries, rows, metric)
+
+    return beam_search_core(
+        links,
+        num_nodes,
+        queries.shape[0],
+        vectors.shape[0],
+        score_block,
+        ef=ef,
+        num_initializations=num_initializations,
+        max_hops=max_hops,
+    )
 
 
 @functools.partial(

@@ -1,0 +1,2 @@
+from flatnav_tpu.quantization.kmeans import kmeans  # noqa: F401
+from flatnav_tpu.quantization.pq import ProductQuantizer  # noqa: F401

@@ -1,0 +1,302 @@
+"""Product Quantization: codebooks, codes, ADC/SDC distances, graph search.
+
+Re-design of the reference's experimental PQ layer
+(/root/reference/developmental-features/quantization/ProductQuantization.h):
+the dim is split into `num_subquantizers` subspaces, each with a 2^nbits
+codebook trained by k-means (train at 210-276). A PQ'd index stores codes
+instead of raw vectors (`transformDataImpl` encodes on insert, 349-356);
+search uses the asymmetric distance (per-query table over centroids,
+367-385) and pruning uses the symmetric code-to-code distance via
+precomputed tables (395-411, built at 475-494).
+
+TPU mapping: training is a vmap of on-device k-means over subspaces; encode
+is a vmapped distance-block argmin; ADC search plugs into the shared
+`beam_search_core` via a table-lookup `score_block` — the hot loop gathers
+[B, M] uint8 code rows instead of float vectors, cutting per-hop HBM
+traffic by 4*d/num_subquantizers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flatnav_tpu.index.search import BeamResults, SearchResults, beam_search_core
+from flatnav_tpu.ops.distances import MetricType
+from flatnav_tpu.quantization.kmeans import kmeans
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PQCodebook:
+    """centroids: [M_pq, ncentroids, d_sub] float32."""
+
+    centroids: jax.Array
+
+    @property
+    def num_subquantizers(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def num_centroids(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def subdim(self) -> int:
+        return self.centroids.shape[2]
+
+
+def _split(data: jax.Array, m_pq: int) -> jax.Array:
+    n, d = data.shape
+    return data.reshape(n, m_pq, d // m_pq).swapaxes(0, 1)  # [M_pq, n, dsub]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _encode(centroids: jax.Array, data: jax.Array) -> jax.Array:
+    """codes [n, M_pq] uint8 (computePQCode, ProductQuantization.h:159-202)."""
+    sub = _split(data.astype(jnp.float32), centroids.shape[0])
+
+    def per_sub(cents, pts):  # [nc, dsub], [n, dsub]
+        d = (
+            jnp.sum(pts * pts, 1, keepdims=True)
+            - 2.0 * pts @ cents.T
+            + jnp.sum(cents * cents, 1)[None, :]
+        )
+        return jnp.argmin(d, axis=1)
+
+    codes = jax.vmap(per_sub)(centroids, sub)  # [M_pq, n]
+    return codes.T.astype(jnp.uint8)
+
+
+@jax.jit
+def _decode(centroids: jax.Array, codes: jax.Array) -> jax.Array:
+    """[n, d] float32 reconstruction (decode, ProductQuantization.h:286-306)."""
+    m_pq = centroids.shape[0]
+
+    def per_sub(cents, c):  # [nc, dsub], [n]
+        return jnp.take(cents, c.astype(jnp.int32), axis=0)
+
+    sub = jax.vmap(per_sub)(centroids, codes.T.astype(jnp.int32))
+    return sub.swapaxes(0, 1).reshape(codes.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _adc_tables_impl(centroids, queries, metric):
+    """Per-query distance tables [B, M_pq, ncentroids]
+    (computeDistanceTable, ProductQuantization.h:367-385).
+
+    For IP, table entries are -<q_sub, c> so that sum_m table = -<q, x>;
+    the caller adds the constant 1 to match `1 - <q, x>`.
+    """
+    m_pq = centroids.shape[0]
+    b, d = queries.shape
+    qs = queries.astype(jnp.float32).reshape(b, m_pq, d // m_pq)
+    qs = qs.swapaxes(0, 1)  # [M_pq, B, dsub]
+
+    def per_sub(cents, q):
+        if metric == MetricType.IP:
+            return -(q @ cents.T)
+        return (
+            jnp.sum(q * q, 1, keepdims=True)
+            - 2.0 * q @ cents.T
+            + jnp.sum(cents * cents, 1)[None, :]
+        )
+
+    t = jax.vmap(per_sub)(centroids, qs)  # [M_pq, B, nc]
+    return t.swapaxes(0, 1)  # [B, M_pq, nc]
+
+
+@jax.jit
+def _sdc_tables(centroids: jax.Array) -> jax.Array:
+    """Symmetric tables [M_pq, nc, nc] (ProductQuantization.h:475-494)."""
+
+    def per_sub(cents):
+        return (
+            jnp.sum(cents * cents, 1, keepdims=True)
+            - 2.0 * cents @ cents.T
+            + jnp.sum(cents * cents, 1)[None, :]
+        )
+
+    return jax.vmap(per_sub)(centroids.astype(jnp.float32))
+
+
+class ProductQuantizer:
+    """FAISS-style product quantizer (ProductQuantization.h:91-571).
+
+    Train types DEFAULT / HOT_START / SHARED / HYPERCUBE
+    (ProductQuantization.h:534-543) map to the `train_type` argument.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        num_subquantizers: int = 8,
+        nbits: int = 8,
+        metric: MetricType = MetricType.L2,
+    ):
+        if dim % num_subquantizers:
+            raise ValueError(
+                f"dim {dim} not divisible by {num_subquantizers} subquantizers"
+            )
+        if nbits != 8:
+            raise ValueError("only 8-bit codes are supported (256 centroids)")
+        self.dim = dim
+        self.num_subquantizers = num_subquantizers
+        self.nbits = nbits
+        self.num_centroids = 1 << nbits
+        self.metric = metric
+        self.codebook: Optional[PQCodebook] = None
+
+    @property
+    def is_trained(self) -> bool:
+        return self.codebook is not None
+
+    def code_size_bytes(self) -> int:
+        return self.num_subquantizers  # 8 bits per subquantizer
+
+    def train(
+        self,
+        data: np.ndarray,
+        n_iters: int = 62,
+        train_type: str = "default",
+        seed: int = 0,
+    ) -> "ProductQuantizer":
+        """Per-subspace k-means (train, ProductQuantization.h:210-276)."""
+        data = np.asarray(data, dtype=np.float32)
+        init = "hypercube" if train_type == "hypercube" else "default"
+        subs = data.reshape(data.shape[0], self.num_subquantizers, -1)
+        if train_type == "shared":
+            # one codebook shared across subspaces
+            flat = subs.reshape(-1, subs.shape[2])
+            cents, _ = kmeans(flat, self.num_centroids, n_iters, init, seed)
+            centroids = jnp.broadcast_to(
+                cents[None], (self.num_subquantizers,) + cents.shape
+            )
+        else:
+            all_c = []
+            for m in range(self.num_subquantizers):
+                cents, _ = kmeans(
+                    subs[:, m], self.num_centroids, n_iters, init, seed + m
+                )
+                all_c.append(cents)
+            centroids = jnp.stack(all_c)
+        self.codebook = PQCodebook(centroids)
+        return self
+
+    def _require_trained(self):
+        if not self.is_trained:
+            raise RuntimeError("ProductQuantizer must be trained first")
+
+    def encode(self, data) -> jax.Array:
+        self._require_trained()
+        return _encode(self.codebook.centroids, jnp.asarray(data))
+
+    def decode(self, codes) -> jax.Array:
+        self._require_trained()
+        return _decode(self.codebook.centroids, jnp.asarray(codes))
+
+    def adc_tables(self, queries) -> jax.Array:
+        """Per-query asymmetric distance tables [B, M_pq, 256]."""
+        self._require_trained()
+        return _adc_tables_impl(
+            self.codebook.centroids, jnp.asarray(queries), self.metric
+        )
+
+    def sdc_tables(self) -> jax.Array:
+        self._require_trained()
+        return _sdc_tables(self.codebook.centroids)
+
+    def asymmetric_distances(self, queries, codes) -> jax.Array:
+        """[B, n] distances query -> code (getAsymmetricDistance path)."""
+        tables = self.adc_tables(queries)  # [B, M_pq, 256]
+        codes = jnp.asarray(codes)
+        d = score_codes(
+            tables,
+            jnp.broadcast_to(codes[None], (tables.shape[0],) + codes.shape),
+        )
+        if self.metric == MetricType.IP:
+            d = 1.0 + d
+        return d
+
+
+def score_codes(tables: jax.Array, codes: jax.Array) -> jax.Array:
+    """ADC scoring: tables [B, M_pq, nc], codes [B, C, M_pq] -> [B, C].
+
+    sum over subquantizers of table[b, m, codes[b, c, m]].
+    """
+    c = codes.shape[1]
+    idx = codes.astype(jnp.int32).swapaxes(1, 2)  # [B, M_pq, C]
+    looked = jnp.take_along_axis(tables, idx, axis=2)  # [B, M_pq, C]
+    return looked.sum(axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
+)
+def pq_beam_search(
+    codes: jax.Array,  # [cap(+pad), M_pq] uint8
+    links: jax.Array,
+    num_nodes: jax.Array,
+    tables: jax.Array,  # [B, M_pq, 256] ADC tables for this query batch
+    *,
+    ef: int,
+    metric: MetricType = MetricType.L2,
+    num_initializations: int = 100,
+    max_hops: int = 0,
+) -> BeamResults:
+    """Beam search over PQ codes with ADC scoring — the PQ analog of
+    beam_search (Index<ProductQuantizer> in the reference plugs PQ in as a
+    DistanceInterface; here it plugs in as a score_block)."""
+    offset = 1.0 if metric == MetricType.IP else 0.0
+
+    def score_block(ids: jax.Array) -> jax.Array:
+        rows = jnp.take(codes, ids, axis=0)  # [B, C, M_pq] uint8 gather
+        return score_codes(tables, rows) + offset
+
+    return beam_search_core(
+        links,
+        num_nodes,
+        tables.shape[0],
+        codes.shape[0],
+        score_block,
+        ef=ef,
+        num_initializations=num_initializations,
+        max_hops=max_hops,
+    )
+
+
+def pq_search(
+    pq: ProductQuantizer,
+    codes: jax.Array,
+    links: jax.Array,
+    labels: jax.Array,
+    num_nodes: jax.Array,
+    queries,
+    *,
+    k: int,
+    ef: int,
+    num_initializations: int = 100,
+) -> SearchResults:
+    """Top-K ADC search over a PQ-coded graph index."""
+    tables = pq.adc_tables(queries)
+    beam = pq_beam_search(
+        codes,
+        links,
+        num_nodes,
+        tables,
+        ef=max(ef, k),
+        metric=pq.metric,
+        num_initializations=num_initializations,
+    )
+    top_d = beam.dists[:, :k]
+    top_i = beam.ids[:, :k]
+    top_labels = jnp.where(
+        jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
+    )
+    return SearchResults(top_d, top_labels, beam.dist_computations, beam.hops)

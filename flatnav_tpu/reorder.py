@@ -103,8 +103,15 @@ class _GorderQueue:
 def gorder(links: np.ndarray, n: int, window_size: int = 5) -> np.ndarray:
     """Gorder sliding-window greedy ordering (Reordering.h:26-117).
 
-    Returns P (int32 [n]) with P[old_id] = new_id.
+    Returns P (int32 [n]) with P[old_id] = new_id. Uses the native C++
+    implementation when available (flatnav_tpu.native); this Python path is
+    the reference oracle and fallback.
     """
+    from flatnav_tpu import native
+
+    native_perm = native.gorder(links, n, window_size)
+    if native_perm is not None:
+        return native_perm
     out_table = _adjacency(links, n)
     in_table = [[] for _ in range(n)]
     for u in range(n):
@@ -143,8 +150,14 @@ def rcm_order(links: np.ndarray, n: int) -> np.ndarray:
     """Reverse Cuthill-McKee ordering (Reordering.h:119-200).
 
     BFS from min-degree roots, neighbors visited min-degree-first, final
-    order reversed. Returns P with P[old_id] = new_id.
+    order reversed. Returns P with P[old_id] = new_id. Prefers the native
+    C++ implementation; this Python path is the oracle and fallback.
     """
+    from flatnav_tpu import native
+
+    native_perm = native.rcm_order(links, n)
+    if native_perm is not None:
+        return native_perm
     out_table = _adjacency(links, n)
     degrees = np.array([len(t) for t in out_table])
     roots = np.argsort(degrees, kind="stable")

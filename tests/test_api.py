@@ -47,9 +47,9 @@ def test_end_to_end_build_query(rng):
         collect_stats=True,
     )
     index.set_num_threads(4)  # compat no-op
-    index.add(data, ef_construction=64)
+    index.add(data, ef_construction=100)
     assert index.num_nodes == n
-    dists, labels = index.search(queries, K=k, ef_search=64)
+    dists, labels = index.search(queries, K=k, ef_search=128)
     assert dists.shape == (50, k) and labels.shape == (50, k)
     gt = _brute_force_labels(data, queries, k, flatnav_tpu.MetricType.L2)
     assert _recall(labels, gt) >= 0.95
@@ -57,7 +57,7 @@ def test_end_to_end_build_query(rng):
     assert index.get_query_distance_computations() == 0  # read-and-reset
 
     # search_single agreement with batched search
-    d1, l1 = index.search_single(queries[0], K=k, ef_search=64)
+    d1, l1 = index.search_single(queries[0], K=k, ef_search=128)
     np.testing.assert_array_equal(l1, labels[0])
     np.testing.assert_allclose(d1, dists[0])
 

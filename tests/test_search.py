@@ -84,10 +84,19 @@ def test_search_returns_nearest_on_graph_with_selfloops(rng):
     # padding (unused slots == own id, Index.h:269-270) must be ignored.
     n, d, m = 300, 8, 12
     data = rng.standard_normal((n, d), dtype=np.float32)
-    links = build_knn_graph(data, 4, MetricType.L2)
-    # pad to m with self-loops
-    pad = np.repeat(np.arange(n, dtype=np.int32)[:, None], m - 4, axis=1)
-    links = np.concatenate([links, pad], axis=1)
+    links = build_knn_graph(data, 6, MetricType.L2)
+    # symmetrize so every node is reachable (a directed kNN graph can have
+    # zero-in-degree nodes that NO search could find), then pad with
+    # self-loops
+    full = np.repeat(np.arange(n, dtype=np.int32)[:, None], m, axis=1)
+    full[:, :6] = links
+    counts = np.full(n, 6)
+    for src in range(n):
+        for dst in links[src]:
+            if counts[dst] < m and src not in full[dst, : counts[dst]]:
+                full[dst, counts[dst]] = src
+                counts[dst] += 1
+    links = full
     g = graph_from_numpy(data, links)
     res = batched_search(
         g.vectors, g.links, g.labels, g.num_nodes,
