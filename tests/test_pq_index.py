@@ -1,0 +1,85 @@
+"""PQ-coded index: end-to-end construction + ADC search + save/load.
+
+The reference's Index<ProductQuantizer> path (flatnav_pq tool + PQ as a
+DistanceInterface): graph built and searched entirely over codes.
+"""
+
+import numpy as np
+import pytest
+
+from flatnav_tpu.ops import MetricType
+from flatnav_tpu.quantization import PQIndex, ProductQuantizer
+
+
+def _recall(found, truth):
+    return sum(
+        len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found, truth)
+    ) / truth.size
+
+
+@pytest.fixture(scope="module")
+def clustered_data():
+    # PQ is lossy on pure-random data; clustered data is the realistic
+    # regime (real embeddings cluster) and what PQ is built for.
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((64, 32)).astype(np.float32) * 4
+    assign = rng.integers(0, 64, 6000)
+    data = centers[assign] + 0.3 * rng.standard_normal((6000, 32)).astype(np.float32)
+    queries = data[rng.choice(6000, 64, replace=False)] + 0.05 * rng.standard_normal(
+        (64, 32)
+    ).astype(np.float32)
+    return data.astype(np.float32), queries.astype(np.float32)
+
+
+def test_pq_index_end_to_end(clustered_data):
+    data, queries = clustered_data
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops import brute_force_knn
+
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:2000], n_iters=25
+    )
+    index = PQIndex(pq, dataset_size=len(data), max_edges_per_node=16)
+    index.add(data, ef_construction=64)
+    assert index.num_nodes == len(data)
+    _, gt = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(queries), 10, MetricType.L2
+    )
+    d, labels = index.search(queries, K=10, ef_search=96)
+    r = _recall(labels, np.asarray(gt))
+    # The right yardstick is the QUANTIZATION ceiling: recall of exact
+    # brute-force ADC ranking. The graph search must lose almost nothing
+    # on top of what PQ itself loses.
+    codes = pq.encode(data)
+    adc = np.asarray(pq.asymmetric_distances(queries, codes))
+    ceiling_top = np.argsort(adc, axis=1)[:, :10]
+    ceiling = _recall(ceiling_top, np.asarray(gt))
+    assert r >= 0.9 * ceiling, (
+        f"PQ graph recall {r} far below ADC ceiling {ceiling}"
+    )
+    assert ceiling > 0.3  # PQ itself must be sane on clustered data
+    # memory accounting reflects code storage, not raw vectors
+    raw_bytes = 32 * 4 * len(data)
+    assert index.index_memory_bytes() < raw_bytes
+
+
+def test_pq_index_save_load_identical(clustered_data, tmp_path):
+    data, queries = clustered_data
+    pq = ProductQuantizer(dim=32, num_subquantizers=4).train(
+        data[:1000], n_iters=10
+    )
+    index = PQIndex(pq, dataset_size=2000, max_edges_per_node=8)
+    index.add(data[:2000], ef_construction=32)
+    d0, l0 = index.search(queries, K=5, ef_search=32)
+    path = str(tmp_path / "pq_index.npz")
+    index.save(path)
+    reloaded = PQIndex.load(path)
+    d1, l1 = reloaded.search(queries, K=5, ef_search=32)
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+
+
+def test_pq_index_requires_trained_quantizer():
+    with pytest.raises(RuntimeError, match="trained"):
+        PQIndex(ProductQuantizer(dim=16, num_subquantizers=4), 100, 8)
