@@ -166,10 +166,32 @@ class ProductQuantizer:
         train_type: str = "default",
         seed: int = 0,
     ) -> "ProductQuantizer":
-        """Per-subspace k-means (train, ProductQuantization.h:210-276)."""
+        """Per-subspace k-means (train, ProductQuantization.h:210-276).
+
+        train_type (ProductQuantization.h:534-543):
+          default   — fresh k-means per subspace
+          hot_start — continue Lloyd iterations from the existing codebook
+          shared    — one codebook shared across subspaces
+          hypercube — hypercube initialization
+        """
         data = np.asarray(data, dtype=np.float32)
         init = "hypercube" if train_type == "hypercube" else "default"
         subs = data.reshape(data.shape[0], self.num_subquantizers, -1)
+        if train_type == "hot_start":
+            if not self.is_trained:
+                raise RuntimeError("hot_start requires an existing codebook")
+            from flatnav_tpu.quantization.kmeans import _lloyd
+
+            all_c = []
+            for m in range(self.num_subquantizers):
+                cents, _ = _lloyd(
+                    jnp.asarray(subs[:, m]),
+                    self.codebook.centroids[m],
+                    n_iters,
+                )
+                all_c.append(cents)
+            self.codebook = PQCodebook(jnp.stack(all_c))
+            return self
         if train_type == "shared":
             # one codebook shared across subspaces
             flat = subs.reshape(-1, subs.shape[2])

@@ -1,0 +1,98 @@
+"""Extra search-path coverage: expand_factor recall parity, bfloat16/f16
+storage dtypes, merge tie behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flatnav_tpu
+from flatnav_tpu.data_type import DataType
+from flatnav_tpu.index import batched_search, graph_from_numpy
+from flatnav_tpu.ops import MetricType, brute_force_knn
+from tests.test_search import build_knn_graph, recall
+
+
+@pytest.fixture(scope="module")
+def graph_and_truth():
+    rng = np.random.default_rng(0xE0)
+    n, d, m, k = 6000, 32, 16, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((64, d), dtype=np.float32)
+    links = build_knn_graph(data, m, MetricType.L2)
+    g = graph_from_numpy(data, links)
+    _, gt = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k, MetricType.L2)
+    return g, jnp.asarray(q), np.asarray(gt), k
+
+
+@pytest.mark.parametrize("expand_factor", [2, 4])
+def test_expand_factor_recall_parity(graph_and_truth, expand_factor):
+    g, q, gt, k = graph_and_truth
+    base = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, q, k=k, ef=96,
+    )
+    multi = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, q, k=k, ef=96,
+        expand_factor=expand_factor,
+    )
+    r_base = recall(np.asarray(base.labels), gt)
+    r_multi = recall(np.asarray(multi.labels), gt)
+    assert r_multi >= r_base - 0.05, (r_base, r_multi)
+    # hops counts EXPANSIONS (reference metric_hops parity): total stays
+    # ~constant while loop ITERATIONS drop by ~E (the throughput win).
+    # Expansions may grow slightly (wider frontier); bound the overhead.
+    assert int(multi.hops) <= int(base.hops) * 1.3
+
+
+@pytest.mark.parametrize("dtype", [DataType.bfloat16, DataType.float16])
+def test_low_precision_storage(rng, dtype):
+    # TPU-native extra: half-width storage halves gather traffic. Build and
+    # search must work and reach sane recall.
+    n, d, k = 2000, 32, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((32, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=16,
+        index_data_type=dtype,
+    )
+    index.add(data, ef_construction=64)
+    _, gt = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k, MetricType.L2)
+    _, labels = index.search(q, K=k, ef_search=96)
+    r = recall(labels, np.asarray(gt))
+    assert r >= 0.85, f"half-precision recall {r}"
+
+
+def test_merge_matches_full_sort(rng):
+    # the binary merge must equal a stable full sort with beam-first ties
+    from flatnav_tpu.index.search import _merge_sorted
+
+    b, ef, m = 16, 64, 32
+    beam_raw = rng.standard_normal((b, ef)).astype(np.float32)
+    new_raw = rng.standard_normal((b, m)).astype(np.float32)
+    # inject duplicates and cross-list ties BEFORE sorting (both lists must
+    # stay sorted — that's the merge precondition)
+    beam_raw[:, 10] = beam_raw[:, 11]
+    new_raw[:, 3] = beam_raw[:, 12]
+    beam_raw[:, -8:] = np.inf
+    new_raw[:, -4:] = np.inf
+    beam_d = np.sort(beam_raw, axis=1)
+    new_d = np.sort(new_raw, axis=1)
+    beam_i = rng.integers(0, 1000, (b, ef)).astype(np.int32)
+    new_i = rng.integers(0, 1000, (b, m)).astype(np.int32)
+    beam_e = rng.random((b, ef)) < 0.5
+    new_e = rng.random((b, m)) < 0.5
+
+    got = _merge_sorted(
+        (jnp.asarray(beam_d), jnp.asarray(beam_i), jnp.asarray(beam_e)),
+        (jnp.asarray(new_d), jnp.asarray(new_i), jnp.asarray(new_e)),
+        ef,
+    )
+    all_d = np.concatenate([beam_d, new_d], 1)
+    all_i = np.concatenate([beam_i, new_i], 1)
+    all_e = np.concatenate([beam_e, new_e], 1)
+    order = np.argsort(all_d, axis=1, kind="stable")
+    want_d = np.take_along_axis(all_d, order, 1)[:, :ef]
+    want_i = np.take_along_axis(all_i, order, 1)[:, :ef]
+    want_e = np.take_along_axis(all_e, order, 1)[:, :ef]
+    np.testing.assert_array_equal(np.asarray(got[0]), want_d)
+    np.testing.assert_array_equal(np.asarray(got[1]), want_i)
+    np.testing.assert_array_equal(np.asarray(got[2]), want_e)
