@@ -64,19 +64,35 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--target-recall", type=float, default=0.85)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "uint8", "bfloat16"])
+    ap.add_argument("--expand-factor", type=int, default=1)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0x5EED)
-    data = rng.standard_normal((args.n, args.dim), dtype=np.float32)
-    queries = rng.standard_normal(
-        (args.num_queries, args.dim), dtype=np.float32
-    )
+    if args.dtype == "uint8":
+        # BigANN-style uint8 workload (int distances)
+        data = rng.integers(0, 256, (args.n, args.dim)).astype(np.uint8)
+        queries = rng.integers(
+            0, 256, (args.num_queries, args.dim)
+        ).astype(np.uint8)
+    else:
+        data = rng.standard_normal((args.n, args.dim), dtype=np.float32)
+        queries = rng.standard_normal(
+            (args.num_queries, args.dim), dtype=np.float32
+        )
+        if args.dtype == "bfloat16":
+            data = jnp.asarray(data).astype(jnp.bfloat16)
 
     t0 = time.time()
-    g = make_empty_graph(args.n, args.dim, args.m)
+    g = make_empty_graph(
+        args.n, args.dim, args.m,
+        dtype={"float32": jnp.float32, "uint8": jnp.uint8,
+               "bfloat16": jnp.bfloat16}[args.dtype],
+    )
     g = add_batch(
         g,
-        data,
+        np.asarray(data),
         np.arange(args.n),
         ef_construction=args.ef_construction,
         metric=MetricType.L2,
@@ -89,7 +105,7 @@ def main():
     )
     gt = np.asarray(gt_i)
 
-    q_dev = jnp.asarray(queries)
+    q_dev = jnp.asarray(np.asarray(queries, dtype=np.float32))
 
     def run(ef: int):
         outs = []
@@ -103,6 +119,7 @@ def main():
                 k=args.k,
                 ef=ef,
                 metric=MetricType.L2,
+                expand_factor=args.expand_factor,
             )
             outs.append(res.labels)
         return np.concatenate([np.asarray(o) for o in outs], axis=0)
@@ -132,6 +149,7 @@ def main():
                 k=args.k,
                 ef=chosen_ef,
                 metric=MetricType.L2,
+                expand_factor=args.expand_factor,
             )
         jax.block_until_ready(res.labels)
         times.append(time.time() - t0)
@@ -153,6 +171,7 @@ def main():
                 "metric": (
                     f"qps@recall{args.target_recall}_random"
                     f"{args.n // 1000}k_d{args.dim}_k{args.k}"
+                    + ("" if args.dtype == "float32" else f"_{args.dtype}")
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",

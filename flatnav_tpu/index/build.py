@@ -68,21 +68,47 @@ def select_neighbors(
     dist(c_j, c_i) < dist(q, c_i) (Index.h:739-748).
 
     Returns (kept_ids [W, m] with -1 padding, kept_count [W]).
+
+    When the [W, C, C] pairwise matrix fits a memory budget it is
+    precomputed as one MXU einsum, leaving only cheap mask updates in the
+    sequential scan (the scan itself is inherently order-dependent —
+    Index.h:732-756 — so only the distances batch).
     """
     w, c = cand_dists.shape
+    precompute = w * c * c * 4 <= (1 << 30)
+
+    if precompute:
+        dots = jnp.einsum(
+            "wid,wjd->wij",
+            cand_vecs,
+            cand_vecs,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == MetricType.IP:
+            pair_d = 1.0 - dots
+        else:
+            sq = jnp.sum(cand_vecs * cand_vecs, axis=-1)  # [W, C]
+            pair_d = jnp.maximum(
+                sq[:, :, None] - 2.0 * dots + sq[:, None, :], 0.0
+            )
+
+    def col_dist(i):
+        if precompute:
+            return pair_d[:, :, i]
+        vec_i = cand_vecs[:, i, :]
+        if metric == MetricType.IP:
+            return 1.0 - jnp.einsum(
+                "wcd,wd->wc", cand_vecs, vec_i,
+                preferred_element_type=jnp.float32,
+            )
+        diff = cand_vecs - vec_i[:, None, :]
+        return jnp.sum(diff * diff, axis=-1)  # [W, C] dist(c_j, c_i)
 
     def step(i, state):
         kept_mask, count = state
         dq_i = cand_dists[:, i]  # [W]
-        vec_i = cand_vecs[:, i, :]  # [W, d]
-        if metric == MetricType.IP:
-            col = 1.0 - jnp.einsum(
-                "wcd,wd->wc", cand_vecs, vec_i,
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            diff = cand_vecs - vec_i[:, None, :]
-            col = jnp.sum(diff * diff, axis=-1)  # [W, C] dist(c_j, c_i)
+        col = col_dist(i)
         closer = jnp.logical_and(kept_mask, col < dq_i[:, None])
         ok = ~jnp.any(closer, axis=1)
         take = jnp.logical_and(

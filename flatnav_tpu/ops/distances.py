@@ -127,7 +127,7 @@ def brute_force_knn(
     """
     n, d = dataset.shape
     b = queries.shape[0]
-    tile = min(tile_size, max(k, 128))
+    tile = max(min(tile_size, n), 128)
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
     if n_pad != n:
