@@ -23,6 +23,10 @@ import os
 import sys
 import time
 
+
+def _log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -84,6 +88,8 @@ def main():
         if args.dtype == "bfloat16":
             data = jnp.asarray(data).astype(jnp.bfloat16)
 
+    _log(f"building {args.n}x{args.dim} {args.dtype} M={args.m} "
+         f"efc={args.ef_construction}")
     t0 = time.time()
     g = make_empty_graph(
         args.n, args.dim, args.m,
@@ -99,6 +105,7 @@ def main():
     )
     jax.block_until_ready(g.links)
     build_s = time.time() - t0
+    _log(f"build done in {build_s:.1f}s; computing ground truth")
 
     gt_d, gt_i = brute_force_knn(
         jnp.asarray(data), jnp.asarray(queries), args.k, MetricType.L2
@@ -126,9 +133,11 @@ def main():
 
     # find the operating point
     chosen_ef, recall = None, 0.0
-    for ef in (32, 48, 64, 96, 128, 192, 256, 384, 512):
+    for ef in (64, 128, 192, 256, 384, 512):
+        t0 = time.time()
         found = run(ef)
         recall = _recall(found, gt)
+        _log(f"ef={ef}: recall={recall:.4f} ({time.time()-t0:.1f}s incl compile)")
         if recall >= args.target_recall:
             chosen_ef = ef
             break

@@ -87,12 +87,15 @@ def _merge_sorted(beam, new, ef: int):
     (new_d, new_i, new_e) = new
     b, m = new_d.shape
     rowix = jnp.arange(b, dtype=jnp.int32)[:, None]
-    pos_beam = jnp.arange(ef, dtype=jnp.int32)[None, :] + jax.vmap(
-        lambda hay, needles: jnp.searchsorted(hay, needles, side="left")
-    )(new_d, beam_d)
-    pos_new = jnp.arange(m, dtype=jnp.int32)[None, :] + jax.vmap(
-        lambda hay, needles: jnp.searchsorted(hay, needles, side="right")
-    )(beam_d, new_d)
+    # merge ranks via broadcast-compare + sum — fully vectorized on the VPU
+    # (jnp.searchsorted's default 'scan' lowering is a sequential binary
+    # search: measured 30x slower end-to-end inside the hop loop on TPU)
+    pos_beam = jnp.arange(ef, dtype=jnp.int32)[None, :] + jnp.sum(
+        new_d[:, None, :] < beam_d[:, :, None], axis=2, dtype=jnp.int32
+    )
+    pos_new = jnp.arange(m, dtype=jnp.int32)[None, :] + jnp.sum(
+        beam_d[:, None, :] <= new_d[:, :, None], axis=2, dtype=jnp.int32
+    )
     total = ef + m
     out_d = jnp.full((b, total), jnp.inf, beam_d.dtype)
     out_i = jnp.zeros((b, total), beam_i.dtype)
