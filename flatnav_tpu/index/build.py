@@ -392,11 +392,19 @@ def add_batch(
     max_wave: int = _MAX_WAVE,
     intra_candidates: int | None = None,
     stats: dict | None = None,
+    mesh=None,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
 
     Host-side analog of Index::addBatch (Index.h:300-329): orchestrates the
     wave loop; all per-point math runs on device.
+
+    With `mesh`, waves shard over the mesh's `data` axis with the graph
+    replicated — the multi-chip analog of the reference's insert thread
+    pool (Multithreading.h:18-48 + addBatch Index.h:320-328). The wave
+    pipeline is deterministic, so the sharded build produces BIT-IDENTICAL
+    graphs to the single-device build (stronger than the reference's
+    recall-level parity, test_parallel_insertions.py).
     """
     n = data.shape[0]
     cap = graph.capacity
@@ -418,6 +426,18 @@ def add_batch(
     data = np.ascontiguousarray(data)
     labels = np.asarray(labels, dtype=np.int32)
 
+    if mesh is not None:
+        from flatnav_tpu.parallel.sharding import data_sharded, replicated
+
+        rep = replicated(mesh)
+        wave_sharding = data_sharded(mesh)
+        vectors = jax.device_put(vectors, rep)
+        links = jax.device_put(links, rep)
+        lab = jax.device_put(lab, rep)
+        num_nodes = jax.device_put(num_nodes, rep)
+    else:
+        wave_sharding = None
+
     # Bootstrap: the very first node gets no edges (Index.h:369-371:
     # new_node_id == 0 returns right after allocation).
     if committed == 0:
@@ -438,7 +458,11 @@ def add_batch(
             wave_data = np.concatenate([wave_data, np.repeat(wave_data[:1], pad, 0)])
             wave_labels = np.concatenate([wave_labels, np.zeros(pad, np.int32)])
 
-        new_vecs = jnp.asarray(wave_data)
+        new_vecs = (
+            jax.device_put(wave_data, wave_sharding)
+            if wave_sharding is not None
+            else jnp.asarray(wave_data)
+        )
         n_valid = jnp.asarray(w, jnp.int32)
         vectors, lab = commit_vectors(
             vectors, lab, num_nodes, new_vecs, jnp.asarray(wave_labels)

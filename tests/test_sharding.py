@@ -62,3 +62,27 @@ def test_model_sharded_matches_single(small_graph, data_ax, model_ax):
 
 def test_meshes_available():
     assert len(jax.devices()) == 8
+
+
+def test_data_parallel_build_bit_identical():
+    """Sharded construction must produce the same graph as single-device —
+    the multi-chip analog of test_parallel_insertions.py, but exact."""
+    from flatnav_tpu.index.build import add_batch
+    from flatnav_tpu.index.graph import make_empty_graph
+
+    rng = np.random.default_rng(5)
+    n, d, m = 1200, 16, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    g1 = add_batch(
+        make_empty_graph(n, d, m), data, np.arange(n),
+        ef_construction=32, metric=MetricType.L2,
+    )
+    mesh = make_mesh(data=8, model=1)
+    g2 = add_batch(
+        make_empty_graph(n, d, m), data, np.arange(n),
+        ef_construction=32, metric=MetricType.L2, mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(g1.links), np.asarray(g2.links))
+    np.testing.assert_array_equal(
+        np.asarray(g1.vectors), np.asarray(g2.vectors)
+    )
