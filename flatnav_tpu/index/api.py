@@ -30,7 +30,6 @@ from flatnav_tpu.index import build as build_mod
 from flatnav_tpu.index import serialize as ser
 from flatnav_tpu.index.graph import (
     GraphArrays,
-    graph_from_numpy,
     make_empty_graph,
     node_size_bytes,
 )

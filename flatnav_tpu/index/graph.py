@@ -45,8 +45,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flatnav_tpu.ops.distances import MetricType
-
 #: construction waves are padded to power-of-two buckets up to this size
 MAX_WAVE = 8192
 
@@ -148,7 +146,6 @@ def graph_from_numpy(
 
 __all__ = [
     "GraphArrays",
-    "MetricType",
     "MAX_WAVE",
     "make_empty_graph",
     "graph_from_numpy",

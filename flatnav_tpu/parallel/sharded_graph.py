@@ -28,9 +28,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from flatnav_tpu.index.search import BeamResults, SearchResults
+from flatnav_tpu.index.search import BeamResults, SearchResults, _merge_sorted
 from flatnav_tpu.ops.distances import MetricType, query_block_distances
 from flatnav_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
@@ -150,14 +150,15 @@ def _sharded_beam_search_local(
         dcomp = dcomp + jnp.sum(fresh_local, dtype=jnp.int32)
         hops = hops + jnp.sum(active, dtype=jnp.int32)
 
-        # 3. replicated merge
-        all_d = jnp.concatenate([beam_d, nd], axis=1)
-        all_i = jnp.concatenate([beam_i, jnp.maximum(nbrs, 0)], axis=1)
-        all_e = jnp.concatenate([beam_e, ~fresh], axis=1)
-        sd, si, se = jax.lax.sort(
-            (all_d, all_i, all_e), dimension=1, num_keys=1, is_stable=True
+        # 3. replicated merge (same binary merge as the single-chip path)
+        sd_new, si_new, se_new = jax.lax.sort(
+            (nd, jnp.maximum(nbrs, 0), ~fresh),
+            dimension=1, num_keys=1, is_stable=True,
         )
-        return sd[:, :ef], si[:, :ef], se[:, :ef], visited, dcomp, hops
+        nbd, nbi, nbe = _merge_sorted(
+            (beam_d, beam_i, beam_e), (sd_new, si_new, se_new), ef
+        )
+        return nbd, nbi, nbe, visited, dcomp, hops
 
     state = (
         beam_d,

@@ -37,8 +37,7 @@ from flatnav_tpu.index.build import (
     commit_links,
     select_neighbors,
 )
-from flatnav_tpu.index.graph import MAX_WAVE, GraphArrays, make_empty_graph, wave_pad
-from flatnav_tpu.index.search import SearchResults
+from flatnav_tpu.index.graph import MAX_WAVE, wave_pad
 from flatnav_tpu.ops.distances import MetricType, pairwise_distances
 from flatnav_tpu.quantization.pq import (
     ProductQuantizer,
@@ -46,7 +45,6 @@ from flatnav_tpu.quantization.pq import (
     _decode,
     _encode,
     pq_beam_search,
-    score_codes,
 )
 
 
