@@ -261,6 +261,15 @@ class Index:
     def get_build_stats(self) -> dict:
         return dict(self._build_stats)
 
+    def get_graph_outdegree_table(self) -> List[List[int]]:
+        """Outbound edges per node, excluding self-loop padding
+        (Index::getGraphOutdegreeTable, Index.h:240-251; exposed at
+        bindings.cpp:467)."""
+        n = self.num_nodes
+        links = np.asarray(self._graph.links[:n])
+        own = np.arange(n, dtype=links.dtype)[:, None]
+        return [row[row != i].tolist() for i, row in zip(own[:, 0], links)]
+
     # ------------------------------------------------------- persistence/etc
     def save(self, filename: str) -> None:
         ser.save_index(

@@ -73,6 +73,15 @@ class SearchResults(NamedTuple):
     hops: jax.Array
 
 
+#: beam-merge implementation (all produce bit-identical beams):
+#:   "gather" — rank-compare + take_along_axis; no scatters, no full sort
+#:   "sort"   — full-width stable lax.sort (bitonic network)
+#:   "binary" — ranks + scatter (AVOID on TPU: dynamic-index scatters
+#:              serialize; measured 7-30x slower end-to-end)
+#: Module-level so benchmarks can A/B the lowerings.
+MERGE_IMPL = "gather"
+
+
 def _merge_sorted(beam, new, ef: int):
     """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
     sorted [B, ef] beam — the top-k eviction of Index.h:693-704.
@@ -86,6 +95,43 @@ def _merge_sorted(beam, new, ef: int):
     (beam_d, beam_i, beam_e) = beam
     (new_d, new_i, new_e) = new
     b, m = new_d.shape
+    if MERGE_IMPL == "sort":
+        all_d = jnp.concatenate([beam_d, new_d], axis=1)
+        all_i = jnp.concatenate([beam_i, new_i], axis=1)
+        all_e = jnp.concatenate([beam_e, new_e], axis=1)
+        sd, si, se = jax.lax.sort(
+            (all_d, all_i, all_e), dimension=1, num_keys=1, is_stable=True
+        )
+        return sd[:, :ef], si[:, :ef], se[:, :ef]
+
+    if MERGE_IMPL == "gather":
+        # merged rank of new[j] = j + #{beam <= new[j]} (beam-first ties);
+        # ranks are unique by the merge-path argument. For each output slot
+        # k < ef: j_count = #{new ranks < k} new elements precede it; the
+        # slot holds new[j_count] if some new rank == k, else
+        # beam[k - j_count]. Pure compare+gather — no scatters (TPU
+        # scatters with dynamic indices serialize), no full-width sort.
+        rank_new = jnp.arange(m, dtype=jnp.int32)[None, :] + jnp.sum(
+            beam_d[:, None, :] <= new_d[:, :, None], axis=2, dtype=jnp.int32
+        )  # [B, M]
+        k = jnp.arange(ef, dtype=jnp.int32)[None, :, None]  # [1, ef, 1]
+        below = rank_new[:, None, :] < k  # [B, ef, M]
+        j_count = jnp.sum(below, axis=2, dtype=jnp.int32)  # [B, ef]
+        take_new = jnp.any(rank_new[:, None, :] == k, axis=2)  # [B, ef]
+        i_idx = jnp.clip(
+            jnp.arange(ef, dtype=jnp.int32)[None, :] - j_count, 0, ef - 1
+        )
+        j_idx = jnp.clip(j_count, 0, m - 1)
+
+        def pick(new_a, beam_a):
+            return jnp.where(
+                take_new,
+                jnp.take_along_axis(new_a, j_idx, axis=1),
+                jnp.take_along_axis(beam_a, i_idx, axis=1),
+            )
+
+        return pick(new_d, beam_d), pick(new_i, beam_i), pick(new_e, beam_e)
+
     rowix = jnp.arange(b, dtype=jnp.int32)[:, None]
     # merge ranks via broadcast-compare + sum — fully vectorized on the VPU
     # (jnp.searchsorted's default 'scan' lowering is a sequential binary

@@ -61,8 +61,11 @@ def test_low_precision_storage(rng, dtype):
     assert r >= 0.85, f"half-precision recall {r}"
 
 
-def test_merge_matches_full_sort(rng):
-    # the binary merge must equal a stable full sort with beam-first ties
+@pytest.mark.parametrize("impl", ["gather", "binary", "sort"])
+def test_merge_matches_full_sort(rng, impl):
+    # every merge implementation must equal a stable full sort with
+    # beam-first tie order
+    import flatnav_tpu.index.search as S
     from flatnav_tpu.index.search import _merge_sorted
 
     b, ef, m = 16, 64, 32
@@ -81,11 +84,16 @@ def test_merge_matches_full_sort(rng):
     beam_e = rng.random((b, ef)) < 0.5
     new_e = rng.random((b, m)) < 0.5
 
-    got = _merge_sorted(
-        (jnp.asarray(beam_d), jnp.asarray(beam_i), jnp.asarray(beam_e)),
-        (jnp.asarray(new_d), jnp.asarray(new_i), jnp.asarray(new_e)),
-        ef,
-    )
+    old = S.MERGE_IMPL
+    S.MERGE_IMPL = impl
+    try:
+        got = _merge_sorted(
+            (jnp.asarray(beam_d), jnp.asarray(beam_i), jnp.asarray(beam_e)),
+            (jnp.asarray(new_d), jnp.asarray(new_i), jnp.asarray(new_e)),
+            ef,
+        )
+    finally:
+        S.MERGE_IMPL = old
     all_d = np.concatenate([beam_d, new_d], 1)
     all_i = np.concatenate([beam_i, new_i], 1)
     all_e = np.concatenate([beam_e, new_e], 1)
