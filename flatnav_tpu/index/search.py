@@ -81,6 +81,21 @@ class SearchResults(NamedTuple):
 #: Module-level so benchmarks can A/B the lowerings.
 MERGE_IMPL = "gather"
 
+#: visited-set implementation:
+#:   "history" — scatter-free exact dedup: candidates are rejected if they
+#:     are in the current beam or in the expanded-id history (an
+#:     append-only buffer written with contiguous dynamic_update_slice).
+#:     Nodes that were evaluated, never entered or were evicted from the
+#:     beam unexpanded CAN be re-evaluated (distances are nearly free on
+#:     TPU — the gather+distance is ~1% of a hop); duplicates in the beam
+#:     and re-expansions remain impossible, so termination and results
+#:     are unaffected. The distance_computations counter therefore counts
+#:     slightly MORE than the reference's (which never re-evaluates,
+#:     VisitedSetPool.h) — a documented deviation.
+#:   "bitmask" — the reference-faithful bit-packed visited table; its
+#:     per-hop scatter-add serializes on TPU (measured ~half the hop).
+VISITED_IMPL = "history"
+
 
 def _merge_sorted(beam, new, ef: int):
     """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
@@ -174,8 +189,13 @@ def beam_search_core(
     """
     m = links.shape[1]
     b = batch
-    n_words = -(-table_rows // 32)
     rowix = jnp.arange(b, dtype=jnp.int32)
+    e_f = max(expand_factor, 1)
+    em = e_f * m
+    use_history = VISITED_IMPL == "history"
+    # the history buffer bounds the hop loop; generous default tail
+    # (typical expansions per query ~ ef + small overshoot)
+    hop_cap = max_hops if max_hops else 2 * ef + 128
 
     # entry points: batched initializeSearch (Index.h:845-870)
     step = jnp.maximum(num_nodes // num_initializations, 1)
@@ -192,10 +212,16 @@ def beam_search_core(
     beam_i = jnp.zeros((b, ef), jnp.int32).at[:, 0].set(entry_ids)
     beam_e = jnp.ones((b, ef), jnp.bool_).at[:, 0].set(False)
 
-    visited = jnp.zeros((b, n_words), jnp.uint32)
-    visited = visited.at[rowix, entry_ids >> 5].add(
-        jnp.left_shift(jnp.uint32(1), (entry_ids & 31).astype(jnp.uint32))
-    )
+    if use_history:
+        # expanded-id history [B, hop_cap * E], -1 padded, appended by
+        # contiguous dynamic_update_slice each hop (never a scatter)
+        visited = jnp.full((b, hop_cap * e_f), -1, jnp.int32)
+    else:
+        n_words = -(-table_rows // 32)
+        visited = jnp.zeros((b, n_words), jnp.uint32)
+        visited = visited.at[rowix, entry_ids >> 5].add(
+            jnp.left_shift(jnp.uint32(1), (entry_ids & 31).astype(jnp.uint32))
+        )
 
     # Reference adds num_initializations to the counter up front
     # (Index.h:857-859) plus 1 for the entry-node distance (Index.h:619).
@@ -203,16 +229,11 @@ def beam_search_core(
 
     # First-occurrence mask scaffolding for intra-hop dedup (width = E*M
     # when expanding E beam entries per hop).
-    e_f = max(expand_factor, 1)
-    em = e_f * m
     lower_tri = jnp.tril(jnp.ones((em, em), jnp.bool_), k=-1)
 
     def cond(state):
         _, _, beam_e, _, _, _, it = state
-        alive = jnp.any(~beam_e)
-        if max_hops:
-            alive = jnp.logical_and(alive, it < max_hops)
-        return alive
+        return jnp.logical_and(jnp.any(~beam_e), it < hop_cap)
 
     def body(state):
         beam_d, beam_i, beam_e, visited, dcomp, hops, it = state
@@ -231,24 +252,53 @@ def beam_search_core(
             sel_valid = sel < ef
         sel = jnp.minimum(sel, ef - 1)
         cur_ids = jnp.where(sel_valid, jnp.take_along_axis(beam_i, sel, axis=1), 0)
-        beam_e = beam_e.at[rowix[:, None], sel].set(True)
+        # mark expanded WITHOUT a scatter (TPU scatters serialize): one
+        # broadcast compare against the selected positions
+        hit = jnp.any(
+            jnp.logical_and(pos[:, :, None] == sel[:, None, :], sel_valid[:, None, :]),
+            axis=2,
+        )
+        beam_e = jnp.logical_or(beam_e, hit)
 
         nbrs = jnp.take(links, cur_ids.reshape(-1), axis=0).reshape(b, em)
-        words = nbrs >> 5
-        bits = jnp.left_shift(jnp.uint32(1), (nbrs & 31).astype(jnp.uint32))
-        vis_words = jnp.take_along_axis(visited, words, axis=1)
-        fresh = (vis_words & bits) == 0
         valid_src = jnp.repeat(sel_valid, m, axis=1)  # [B, E*M]
+
+        if use_history:
+            # record this hop's expansions (contiguous write)
+            visited = jax.lax.dynamic_update_slice(
+                visited,
+                jnp.where(sel_valid, cur_ids, -1),
+                (0, it * e_f),
+            )
+            # candidate is fresh iff not in the (finite) beam and never
+            # expanded; evicted-unexpanded nodes may re-enter (re-eval is
+            # ~free; correctness unaffected — see VISITED_IMPL docs)
+            in_beam = jnp.any(
+                jnp.logical_and(
+                    nbrs[:, :, None] == beam_i[:, None, :],
+                    jnp.isfinite(beam_d)[:, None, :],
+                ),
+                axis=2,
+            )
+            in_hist = jnp.any(
+                nbrs[:, :, None] == visited[:, None, :], axis=2
+            )
+            fresh = ~jnp.logical_or(in_beam, in_hist)
+        else:
+            words = nbrs >> 5
+            bits = jnp.left_shift(jnp.uint32(1), (nbrs & 31).astype(jnp.uint32))
+            vis_words = jnp.take_along_axis(visited, words, axis=1)
+            fresh = (vis_words & bits) == 0
         fresh = jnp.logical_and(fresh, valid_src)
-        # Keep only the first occurrence of each id within the hop so the
-        # scatter-add below is an exact bitwise OR.
+        # keep only the first occurrence of each id within the hop
         dup = nbrs[:, :, None] == nbrs[:, None, :]
         first_occ = ~jnp.any(dup & lower_tri[None], axis=2)
         fresh = jnp.logical_and(fresh, first_occ)
 
-        visited = visited.at[rowix[:, None], words].add(
-            jnp.where(fresh, bits, jnp.uint32(0))
-        )
+        if not use_history:
+            visited = visited.at[rowix[:, None], words].add(
+                jnp.where(fresh, bits, jnp.uint32(0))
+            )
 
         nd = score_block(nbrs)  # [B, E*M] (hot: fused gather + distance)
         nd = jnp.where(fresh, nd, jnp.inf)
@@ -256,7 +306,7 @@ def beam_search_core(
         dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
         hops = hops + jnp.sum(sel_valid, dtype=jnp.int32)
 
-        # sort only the E*M new entries, then binary-merge into the beam
+        # sort only the E*M new entries, then merge into the beam
         sd_new, si_new, se_new = jax.lax.sort(
             (nd, nbrs, ~fresh), dimension=1, num_keys=1, is_stable=True
         )

@@ -8,15 +8,16 @@ model axis and advance in lockstep; each hop:
   1. every shard resolves the expanded node's links if it owns the node
      (local gather), then a psum merges the one-owner contributions into a
      replicated [B, M] neighbor-id block;
-  2. every shard checks + marks visited bits and evaluates distances for
-     the neighbors IT owns; a psum merges the per-(query, slot) one-owner
-     contributions (distance blocks and fresh masks);
-  3. the beam merge (sort + truncate) runs replicated on all shards.
+  2. dedup runs REPLICATED (history-based, see search.VISITED_IMPL docs:
+     candidates are rejected if in the current beam or in the expanded-id
+     history) — no per-shard visited state and no fresh-mask collective;
+     every shard evaluates distances for the fresh neighbors IT owns and a
+     psum merges the one-owner distance contributions;
+  3. the beam merge runs replicated on all shards.
 
-Per-hop traffic is two psums of [B, M] scalars over ICI — tiny next to the
-HBM gather work, which is what actually shards. The visited bitmask also
-shards by node ownership ([B, n_local/32] per chip), so per-query state
-scales down with the shard count.
+Per-hop traffic is two psums of [B, M] scalars over ICI (neighbor ids,
+then distances) — tiny next to the HBM gather work, which is what actually
+shards.
 
 Composes with the `data` axis: queries shard over `data`, the table over
 `model` (each data-row of the mesh holds a full table copy).
@@ -86,46 +87,22 @@ def _sharded_beam_search_local(
     beam_i = jnp.zeros((b, ef), jnp.int32).at[:, 0].set(entry_ids)
     beam_e = jnp.ones((b, ef), jnp.bool_).at[:, 0].set(False)
 
-    n_words = -(-n_local // 32)
-    visited = jnp.zeros((b, n_words), jnp.uint32)
-
-    def mark_visited(visited, ids, mask):
-        """Set bits for globally-ided nodes this shard owns; returns
-        (visited', fresh mask local-contribution)."""
-        local = ids - row_offset
-        owned = jnp.logical_and(local >= 0, local < n_local)
-        owned = jnp.logical_and(owned, mask)
-        safe = jnp.where(owned, local, 0)
-        words = safe >> 5
-        bits = jnp.left_shift(jnp.uint32(1), (safe & 31).astype(jnp.uint32))
-        vis_words = jnp.take_along_axis(visited, words, axis=1)
-        fresh = jnp.logical_and((vis_words & bits) == 0, owned)
-        # intra-block dedup (first occurrence) for exact OR-via-add
-        dup = ids[:, :, None] == ids[:, None, :]
-        tri = jnp.tril(jnp.ones((ids.shape[1],) * 2, jnp.bool_), k=-1)
-        first_occ = ~jnp.any(dup & tri[None], axis=2)
-        fresh = jnp.logical_and(fresh, first_occ)
-        visited = visited.at[rowix[:, None], words].add(
-            jnp.where(fresh, bits, jnp.uint32(0))
-        )
-        return visited, fresh
-
-    # mark entry nodes
-    visited, _ = mark_visited(
-        visited, entry_ids[:, None], jnp.ones((b, 1), jnp.bool_)
-    )
+    hop_cap = 2 * ef + 128
+    hist = jnp.full((b, hop_cap), -1, jnp.int32)
+    tri = jnp.tril(jnp.ones((m, m), jnp.bool_), k=-1)
 
     def cond(state):
-        _, _, beam_e, _, _, _ = state
-        return jnp.any(~beam_e)
+        _, _, beam_e, _, _, _, it = state
+        return jnp.logical_and(jnp.any(~beam_e), it < hop_cap)
 
     def body(state):
-        beam_d, beam_i, beam_e, visited, dcomp, hops = state
+        beam_d, beam_i, beam_e, hist, dcomp, hops, it = state
         unexp = ~beam_e
         active = jnp.any(unexp, axis=1)
         sel = jnp.argmax(unexp, axis=1)
         cur_id = jnp.where(active, beam_i[rowix, sel], 0)
-        beam_e = beam_e.at[rowix, sel].set(True)
+        pos = jnp.arange(ef, dtype=jnp.int32)[None, :]
+        beam_e = jnp.logical_or(beam_e, pos == sel[:, None])
 
         # 1. links lookup by owner, merged with psum (one-hot ownership)
         local = cur_id - row_offset
@@ -135,22 +112,39 @@ def _sharded_beam_search_local(
         nbrs = jax.lax.psum(nbr_contrib, MODEL_AXIS) - 1  # [B, M] global ids
         nbrs_valid = jnp.logical_and(nbrs >= 0, active[:, None])
 
-        # 2. visited + distances for owned neighbors
-        visited, fresh_local = mark_visited(visited, nbrs, nbrs_valid)
-        nloc = jnp.where(fresh_local, nbrs - row_offset, 0)
+        # 2. replicated history dedup (identical on all shards)
+        hist = jax.lax.dynamic_update_slice(
+            hist, jnp.where(active, cur_id, -1)[:, None], (0, it)
+        )
+        in_beam = jnp.any(
+            jnp.logical_and(
+                nbrs[:, :, None] == beam_i[:, None, :],
+                jnp.isfinite(beam_d)[:, None, :],
+            ),
+            axis=2,
+        )
+        in_hist = jnp.any(nbrs[:, :, None] == hist[:, None, :], axis=2)
+        dup = nbrs[:, :, None] == nbrs[:, None, :]
+        first_occ = ~jnp.any(dup & tri[None], axis=2)
+        fresh = jnp.logical_and(
+            jnp.logical_and(~jnp.logical_or(in_beam, in_hist), first_occ),
+            nbrs_valid,
+        )
+
+        # 3. distances for owned fresh neighbors; psum merges one-owner rows
+        nbr_loc = nbrs - row_offset
+        owned_n = jnp.logical_and(nbr_loc >= 0, nbr_loc < n_local)
+        fresh_local = jnp.logical_and(fresh, owned_n)
+        nloc = jnp.where(fresh_local, nbr_loc, 0)
         vecs = jnp.take(vectors, nloc, axis=0)
         nd_local = query_block_distances(queries, vecs, metric)
-        nd_contrib = jnp.where(fresh_local, nd_local, 0.0)
-        nd = jax.lax.psum(nd_contrib, MODEL_AXIS)
-        fresh = jax.lax.psum(
-            fresh_local.astype(jnp.int32), MODEL_AXIS
-        ).astype(jnp.bool_)
+        nd = jax.lax.psum(jnp.where(fresh_local, nd_local, 0.0), MODEL_AXIS)
         nd = jnp.where(fresh, nd, jnp.inf)
 
         dcomp = dcomp + jnp.sum(fresh_local, dtype=jnp.int32)
         hops = hops + jnp.sum(active, dtype=jnp.int32)
 
-        # 3. replicated merge (same binary merge as the single-chip path)
+        # 4. replicated merge (same merge as the single-chip path)
         sd_new, si_new, se_new = jax.lax.sort(
             (nd, jnp.maximum(nbrs, 0), ~fresh),
             dimension=1, num_keys=1, is_stable=True,
@@ -158,20 +152,25 @@ def _sharded_beam_search_local(
         nbd, nbi, nbe = _merge_sorted(
             (beam_d, beam_i, beam_e), (sd_new, si_new, se_new), ef
         )
-        return nbd, nbi, nbe, visited, dcomp, hops
+        return nbd, nbi, nbe, hist, dcomp, hops, it + 1
 
+    # init count contributes once (not once per shard) under the final psum
+    dcomp0 = jnp.where(
+        shard_idx == 0, b * (num_initializations + 1), 0
+    ).astype(jnp.int32)
     state = (
         beam_d,
         beam_i,
         beam_e,
-        visited,
-        jnp.asarray(b * (num_initializations + 1), jnp.int32),
+        hist,
+        dcomp0,
+        jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    beam_d, beam_i, _, _, dcomp, hops = jax.lax.while_loop(cond, body, state)
-    dcomp = jax.lax.psum(dcomp, MODEL_AXIS) - (
-        b * (num_initializations + 1) * (jax.lax.axis_size(MODEL_AXIS) - 1)
+    beam_d, beam_i, _, _, dcomp, hops, _ = jax.lax.while_loop(
+        cond, body, state
     )
+    dcomp = jax.lax.psum(dcomp, MODEL_AXIS)
     return BeamResults(beam_d, beam_i, dcomp, hops)
 
 
