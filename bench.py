@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "uint8", "bfloat16"])
-    ap.add_argument("--expand-factor", type=int, default=4)
+    ap.add_argument("--expand-factor", type=int, default=8)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0x5EED)
@@ -144,7 +144,9 @@ def main():
     if chosen_ef is None:
         chosen_ef = 512
 
-    # steady-state timing (compile already done by the recall sweep)
+    # steady-state timing (compile already done by the recall sweep).
+    # NOTE: results are MATERIALIZED to the host each repeat —
+    # block_until_ready does not reliably block on tunneled TPU backends.
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
@@ -160,7 +162,7 @@ def main():
                 metric=MetricType.L2,
                 expand_factor=args.expand_factor,
             )
-        jax.block_until_ready(res.labels)
+            np.asarray(res.labels)
         times.append(time.time() - t0)
     qps = args.num_queries / min(times)
 
