@@ -142,6 +142,7 @@ class WaveSelection(NamedTuple):
         "metric",
         "num_initializations",
         "intra_candidates",
+        "expand_factor",
     ),
 )
 def wave_search_select(
@@ -156,6 +157,7 @@ def wave_search_select(
     metric: MetricType,
     num_initializations: int = 100,
     intra_candidates: int = 0,
+    expand_factor: int = 8,
 ) -> WaveSelection:
     """Phase 1 of a wave: beam search + diversity prune for W new points.
 
@@ -183,6 +185,7 @@ def wave_search_select(
         ef=ef_construction,
         metric=metric,
         num_initializations=num_initializations,
+        expand_factor=expand_factor,
     )
     cand_d, cand_i = beam.dists, beam.ids
 
@@ -393,6 +396,7 @@ def add_batch(
     intra_candidates: int | None = None,
     stats: dict | None = None,
     mesh=None,
+    expand_factor: int = 8,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
 
@@ -478,6 +482,7 @@ def add_batch(
             metric=metric,
             num_initializations=num_initializations,
             intra_candidates=intra_candidates,
+            expand_factor=expand_factor,
         )
         if stats is not None:
             stats["distance_computations"] = stats.get(
