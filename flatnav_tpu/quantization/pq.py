@@ -259,7 +259,9 @@ def score_codes(tables: jax.Array, codes: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef", "metric", "num_initializations", "max_hops"),
+    static_argnames=(
+        "ef", "metric", "num_initializations", "max_hops", "expand_factor"
+    ),
 )
 def pq_beam_search(
     codes: jax.Array,  # [cap(+pad), M_pq] uint8
@@ -271,6 +273,7 @@ def pq_beam_search(
     metric: MetricType = MetricType.L2,
     num_initializations: int = 100,
     max_hops: int = 0,
+    expand_factor: int = 1,
 ) -> BeamResults:
     """Beam search over PQ codes with ADC scoring — the PQ analog of
     beam_search (Index<ProductQuantizer> in the reference plugs PQ in as a
@@ -290,6 +293,7 @@ def pq_beam_search(
         ef=ef,
         num_initializations=num_initializations,
         max_hops=max_hops,
+        expand_factor=expand_factor,
     )
 
 
