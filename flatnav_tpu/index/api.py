@@ -62,6 +62,7 @@ class Index:
         self._verbose = verbose
         self._num_threads = 1  # compat knob; batch size is what matters here
         self._query_batch_size = 1024
+        self._expand_factor = 8  # beam entries expanded per device step
         self._distance_computations = 0
         self._build_stats: dict = {}
         self._graph = (
@@ -144,6 +145,13 @@ class Index:
         if batch_size <= 0:
             raise ValueError("batch_size must be > 0")
         self._query_batch_size = batch_size
+
+    def set_expand_factor(self, expand_factor: int) -> None:
+        """TPU-native knob: beam entries expanded per device step (fewer,
+        wider hops; recall is neutral-to-positive, throughput higher)."""
+        if expand_factor <= 0:
+            raise ValueError("expand_factor must be > 0")
+        self._expand_factor = expand_factor
 
     # ------------------------------------------------------------------- add
     def add(
@@ -230,6 +238,7 @@ class Index:
                 ef=max(ef_search, K),  # Index.h:390
                 metric=self._metric,
                 num_initializations=num_initializations,
+                expand_factor=self._expand_factor,
             )
             out_d[lo:hi] = np.asarray(res.dists)[: hi - lo]
             out_l[lo:hi] = np.asarray(res.labels)[: hi - lo]

@@ -96,6 +96,16 @@ MERGE_IMPL = "gather"
 #:     per-hop scatter-add serializes on TPU (measured ~half the hop).
 VISITED_IMPL = "history"
 
+#: hop-loop implementation:
+#:   "while" — lax.while_loop with early exit when every query's beam is
+#:     fully expanded (fewest iterations).
+#:   "scan"  — lax.scan over exactly hop_cap iterations; done queries
+#:     no-op (the body is idempotent once a beam is fully expanded). On
+#:     some runtimes scan's static trip count executes several times
+#:     cheaper per iteration than while_loop; combined with a tight
+#:     max_hops it can win despite running the full cap.
+LOOP_IMPL = "while"
+
 
 def _merge_sorted(beam, new, ef: int):
     """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
@@ -324,9 +334,16 @@ def beam_search_core(
         jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
     )
-    beam_d, beam_i, _, _, dcomp, hops, _ = jax.lax.while_loop(
-        cond, body, state
-    )
+    if LOOP_IMPL == "scan":
+        def scan_body(carry, _):
+            return body(carry), None
+
+        state, _ = jax.lax.scan(scan_body, state, None, length=hop_cap)
+        beam_d, beam_i, _, _, dcomp, hops, _ = state
+    else:
+        beam_d, beam_i, _, _, dcomp, hops, _ = jax.lax.while_loop(
+            cond, body, state
+        )
     return BeamResults(beam_d, beam_i, dcomp, hops)
 
 
