@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "uint8", "bfloat16"])
-    ap.add_argument("--expand-factor", type=int, default=8)
+    ap.add_argument("--expand-factor", type=int, default=32)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0x5EED)

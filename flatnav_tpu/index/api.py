@@ -62,7 +62,7 @@ class Index:
         self._verbose = verbose
         self._num_threads = 1  # compat knob; batch size is what matters here
         self._query_batch_size = 1024
-        self._expand_factor = 8  # beam entries expanded per device step
+        self._expand_factor = 16  # beam entries expanded per device step
         self._distance_computations = 0
         self._build_stats: dict = {}
         self._graph = (

@@ -111,11 +111,9 @@ def _merge_sorted(beam, new, ef: int):
     """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
     sorted [B, ef] beam — the top-k eviction of Index.h:693-704.
 
-    O((ef+M) log ef) searchsorted merge instead of a full [B, ef+M] sort:
-    measured ~7x faster than lax.sort on TPU (the sort was the single
-    largest per-hop cost, 6x the HBM gather itself). Tie order matches a
-    stable sort with beam entries first. Merge positions are unique by the
-    merge-path argument, so the scatter is deterministic.
+    All implementations are bit-identical; tie order matches a stable sort
+    with beam entries first. Merge ranks are unique by the merge-path
+    argument. See MERGE_IMPL for the tradeoffs per lowering.
     """
     (beam_d, beam_i, beam_e) = beam
     (new_d, new_i, new_e) = new
@@ -204,8 +202,10 @@ def beam_search_core(
     em = e_f * m
     use_history = VISITED_IMPL == "history"
     # the history buffer bounds the hop loop; generous default tail
-    # (typical expansions per query ~ ef + small overshoot)
-    hop_cap = max_hops if max_hops else 2 * ef + 128
+    # (typical EXPANSIONS per query ~ ef + small overshoot; each iteration
+    # performs e_f expansions, so the iteration cap scales down with E and
+    # the history width hop_cap * e_f stays ~constant)
+    hop_cap = max_hops if max_hops else max((2 * ef + 128) // e_f, 16)
 
     # entry points: batched initializeSearch (Index.h:845-870)
     step = jnp.maximum(num_nodes // num_initializations, 1)
