@@ -105,20 +105,43 @@ def select_neighbors(
         diff = cand_vecs - vec_i[:, None, :]
         return jnp.sum(diff * diff, axis=-1)  # [W, C] dist(c_j, c_i)
 
-    def step(i, state):
-        kept_mask, count = state
-        dq_i = cand_dists[:, i]  # [W]
+    # The scan is inherently sequential (each decision depends on all prior
+    # kept candidates, Index.h:732-756), but loop ITERATIONS carry runtime
+    # overhead — so process UNROLL candidates per fori step (an unrolled
+    # inner python loop preserves exact sequential semantics).
+    UNROLL = 8
+    n_steps = -(-c // UNROLL)
+
+    def one(g, kept_mask, count):
+        valid = g < c
+        i = jnp.minimum(g, c - 1)
+        dq_i = jax.lax.dynamic_slice_in_dim(cand_dists, i, 1, axis=1)[:, 0]
         col = col_dist(i)
         closer = jnp.logical_and(kept_mask, col < dq_i[:, None])
         ok = ~jnp.any(closer, axis=1)
         take = jnp.logical_and(
             jnp.logical_and(jnp.isfinite(dq_i), count < m), ok
         )
-        kept_mask = kept_mask.at[:, i].set(take)
+        take = jnp.logical_and(take, valid)
+        # tail steps past c must not clobber the (already decided) column
+        old = jax.lax.dynamic_slice(kept_mask, (0, i), (w, 1))[:, 0]
+        new = jnp.where(valid, take, old)
+        kept_mask = jax.lax.dynamic_update_slice(
+            kept_mask, new[:, None], (0, i)
+        )
         return kept_mask, count + take.astype(jnp.int32)
 
+    def step(ci, state):
+        kept_mask, count = state
+        for off in range(UNROLL):
+            kept_mask, count = one(ci * UNROLL + off, kept_mask, count)
+        return kept_mask, count
+
     kept_mask, count = jax.lax.fori_loop(
-        0, c, step, (jnp.zeros((w, c), jnp.bool_), jnp.zeros((w,), jnp.int32))
+        0,
+        n_steps,
+        step,
+        (jnp.zeros((w, c), jnp.bool_), jnp.zeros((w,), jnp.int32)),
     )
     # Compress kept entries to the front, preserving ascending-dist order.
     order = jnp.argsort(~kept_mask, axis=1, stable=True)  # kept first
@@ -157,7 +180,7 @@ def wave_search_select(
     metric: MetricType,
     num_initializations: int = 100,
     intra_candidates: int = 0,
-    expand_factor: int = 8,
+    expand_factor: int = 16,
 ) -> WaveSelection:
     """Phase 1 of a wave: beam search + diversity prune for W new points.
 
@@ -396,7 +419,7 @@ def add_batch(
     intra_candidates: int | None = None,
     stats: dict | None = None,
     mesh=None,
-    expand_factor: int = 8,
+    expand_factor: int = 16,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
 

@@ -198,7 +198,7 @@ def beam_search_core(
     m = links.shape[1]
     b = batch
     rowix = jnp.arange(b, dtype=jnp.int32)
-    e_f = max(expand_factor, 1)
+    e_f = max(min(expand_factor, ef), 1)
     em = e_f * m
     use_history = VISITED_IMPL == "history"
     # the history buffer bounds the hop loop; generous default tail
