@@ -70,7 +70,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "uint8", "bfloat16"])
-    ap.add_argument("--expand-factor", type=int, default=32)
+    ap.add_argument("--expand-factor", type=int, default=64)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0x5EED)
@@ -133,7 +133,7 @@ def main():
 
     # find the operating point
     chosen_ef, recall = None, 0.0
-    for ef in (64, 128, 192, 256, 384, 512):
+    for ef in (64, 128, 192, 256, 384, 448, 512):
         t0 = time.time()
         found = run(ef)
         recall = _recall(found, gt)
