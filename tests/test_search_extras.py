@@ -104,3 +104,42 @@ def test_merge_matches_full_sort(rng, impl):
     np.testing.assert_array_equal(np.asarray(got[0]), want_d)
     np.testing.assert_array_equal(np.asarray(got[1]), want_i)
     np.testing.assert_array_equal(np.asarray(got[2]), want_e)
+
+
+@pytest.mark.parametrize("loop_impl", ["scan"])
+def test_loop_impl_matches_while(rng, loop_impl):
+    """scan mode (static trip count, done-query no-ops) must be
+    bit-identical to the while loop."""
+    import jax
+
+    import flatnav_tpu.index.search as S
+    from flatnav_tpu.index import graph_from_numpy
+    from tests.test_search import build_knn_graph
+
+    n, d, m = 1500, 16, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = jnp.asarray(rng.standard_normal((24, d), dtype=np.float32))
+    g = graph_from_numpy(data, build_knn_graph(data, m, MetricType.L2))
+    outs = {}
+    for impl in ("while", loop_impl):
+        S.LOOP_IMPL = impl
+        try:
+            fn = jax.jit(
+                S.batched_search.__wrapped__,
+                static_argnames=(
+                    "k", "ef", "metric", "num_initializations", "max_hops",
+                    "expand_factor",
+                ),
+            )
+            r = fn(
+                g.vectors, g.links, g.labels, g.num_nodes, q,
+                k=5, ef=32, max_hops=64, expand_factor=4,
+            )
+            outs[impl] = (
+                np.asarray(r.dists), np.asarray(r.labels),
+                int(r.hops), int(r.dist_computations),
+            )
+        finally:
+            S.LOOP_IMPL = "while"
+    for a, b in zip(outs["while"], outs[loop_impl]):
+        np.testing.assert_array_equal(a, b)
