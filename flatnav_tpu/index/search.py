@@ -26,14 +26,12 @@ Mapping from the reference:
     holds no unexpanded entry. The batch finishes when all queries are done
     (`lax.while_loop` predicate), matching the reference's per-thread loop.
 
-  * VisitedSet (util/VisitedSetPool.h): the byte-per-node table with a
-    generation mark becomes a bit-packed `[B, ceil(cap/32)] uint32` mask,
-    one row per in-flight query; the pool abstraction disappears because
-    the mask is allocated per batch inside the jit program. Mark-visited is
-    an exact bitwise OR expressed as scatter-add: per hop we add each fresh
-    neighbor's bit exactly once (duplicates within the hop are removed with
-    a first-occurrence mask, and already-set bits are excluded because
-    their nodes are, by definition, visited).
+  * VisitedSet (util/VisitedSetPool.h): the pool abstraction disappears —
+    per-batch dedup state lives inside the jit program. Two selectable
+    implementations (VISITED_IMPL): the default scatter-free "history"
+    dedup (beam + expanded-history membership; N-independent memory) and
+    the reference-faithful bit-packed "bitmask" table whose mark step is
+    an exact bitwise OR expressed as scatter-add.
 
   * `initializeSearch` (Index.h:845-870): the strided entry-point scan is a
     single [B, num_init] distance block + argmin. (When 0 < num_nodes mod
