@@ -47,6 +47,38 @@ DEFAULT_METRICS = [
 ]
 
 
+class HnswAdapter:
+    """Adapter giving an hnswlib.Index the flatnav-tpu Index surface the
+    metric registry drives: search/ef handling, distance-computation and
+    memory stats (reference run-benchmark.py:79-124 uses knn_query +
+    set_ef; the forked hnswlib adds get_distance_computations)."""
+
+    def __init__(self, hnsw, dim: int, m: int, dataset_size: int):
+        self._hnsw = hnsw
+        self._dim = dim
+        self._m = m
+        self._n = dataset_size
+
+    def search(self, queries, K: int, ef_search: int):
+        self._hnsw.set_ef(max(ef_search, K))
+        labels, dists = self._hnsw.knn_query(np.asarray(queries), k=K)
+        return dists, labels
+
+    def get_query_distance_computations(self) -> int:
+        getter = getattr(self._hnsw, "get_distance_computations", None)
+        return int(getter()) if getter is not None else 0
+
+    def index_memory_bytes(self) -> int:
+        # hnswlib layout: data + level0 links (2M) + upper-level links
+        # (~M/ level prob), approximated as the reference does for the
+        # memory-parity comparison (README.md:3 "38% less")
+        per_node = self._dim * 4 + 4 * (2 * self._m) + 8
+        return per_node * self._n
+
+    def reorder(self, strategies):
+        raise NotImplementedError("hnswlib baseline has no reordering")
+
+
 def train_index(
     train_data: np.ndarray,
     metric: str,
@@ -72,7 +104,7 @@ def train_index(
         hnsw.set_num_threads(num_build_threads)
         t0 = time.time()
         hnsw.add_items(train_data, ids=np.arange(dataset_size))
-        return hnsw, time.time() - t0
+        return HnswAdapter(hnsw, dim, m, dataset_size), time.time() - t0
 
     import flatnav_tpu
     from flatnav_tpu.data_type import DataType

@@ -35,20 +35,25 @@ def save_index(path: str, graph: GraphArrays, metric: MetricType, extra: dict | 
     }
     if extra:
         meta.update(extra)
-    np.savez(
-        path,
-        vectors=np.asarray(graph.vectors[:n]),
-        links=np.asarray(graph.links[:n]),
-        labels=np.asarray(graph.labels[:n]),
-        metadata=np.frombuffer(
-            json.dumps(meta).encode("utf-8"), dtype=np.uint8
-        ),
-    )
+    # Write through an open file handle: np.savez(path) appends ".npz" to
+    # bare paths, but the reference's saveIndex accepts arbitrary
+    # filenames (Index.h:481-490) — the file must land at the literal
+    # path the caller gave.
+    with open(path, "wb") as f:
+        np.savez(
+            f,
+            vectors=np.asarray(graph.vectors[:n]),
+            links=np.asarray(graph.links[:n]),
+            labels=np.asarray(graph.labels[:n]),
+            metadata=np.frombuffer(
+                json.dumps(meta).encode("utf-8"), dtype=np.uint8
+            ),
+        )
 
 
 def load_index(path: str):
     """Returns (GraphArrays, metric, metadata dict)."""
-    with np.load(path if path.endswith(".npz") else path, allow_pickle=False) as z:
+    with np.load(path, allow_pickle=False) as z:
         meta = json.loads(bytes(z["metadata"]).decode("utf-8"))
         if meta.get("format_version", 0) > _FORMAT_VERSION:
             raise ValueError(

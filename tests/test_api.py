@@ -103,6 +103,25 @@ def test_save_load_bit_identical(rng, tmp_path, distance_type, data_type):
     np.testing.assert_array_equal(d0, d1)
 
 
+def test_save_load_arbitrary_filename(rng, tmp_path):
+    """saveIndex/loadIndex accept arbitrary filenames (Index.h:481-490) —
+    the file must land at the literal path, not path + '.npz'."""
+    n, d = 200, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=4
+    )
+    index.add(data, ef_construction=16)
+    path = str(tmp_path / "index.bin")
+    index.save(path)
+    assert (tmp_path / "index.bin").exists()
+    assert not (tmp_path / "index.bin.npz").exists()
+    reloaded = flatnav_tpu.index.load_index(path)
+    d0, l0 = index.search(data[:10], K=3, ef_search=16)
+    d1, l1 = reloaded.search(data[:10], K=3, ef_search=16)
+    np.testing.assert_array_equal(l0, l1)
+
+
 def test_add_beyond_capacity_raises(rng):
     index = flatnav_tpu.index.create(
         distance_type="l2", dim=8, dataset_size=50, max_edges_per_node=4

@@ -101,6 +101,72 @@ def test_run_benchmark_end_to_end(npy_triplet):
     assert rows[1]["recall"] >= rows[0]["recall"] - 1e-6
 
 
+def test_run_benchmark_hnsw_baseline(npy_triplet, monkeypatch):
+    """--index-type hnsw must drive the adapter end-to-end. The wheel is
+    not present in CI, so a faithful fake (knn_query/set_ef surface,
+    brute-force answers) stands in; with a real wheel the same adapter
+    path runs."""
+    import sys as _sys
+    import types
+
+    class _FakeHnsw:
+        def __init__(self, space, dim):
+            self.dim = dim
+            self._ef = 10
+            self._dc = 0
+
+        def init_index(self, max_elements, ef_construction, M):
+            pass
+
+        def set_num_threads(self, n):
+            pass
+
+        def add_items(self, data, ids):
+            self._data = np.asarray(data)
+            self._ids = np.asarray(ids)
+
+        def set_ef(self, ef):
+            self._ef = ef
+
+        def knn_query(self, q, k):
+            d = ((np.asarray(q)[:, None, :] - self._data[None]) ** 2).sum(-1)
+            self._dc += d.size
+            idx = np.argsort(d, axis=1)[:, :k]
+            return self._ids[idx], np.take_along_axis(d, idx, axis=1)
+
+        def get_distance_computations(self):
+            dc, self._dc = self._dc, 0
+            return dc
+
+    fake = types.ModuleType("hnswlib")
+    fake.Index = _FakeHnsw
+    monkeypatch.setitem(_sys.modules, "hnswlib", fake)
+
+    paths, td = npy_triplet
+    from flatnav_tpu.bench.run_benchmark import parse_args, run_experiment
+
+    args = parse_args(
+        [
+            "--dataset", paths["train"],
+            "--queries", paths["queries"],
+            "--gtruth", paths["gtruth"],
+            "--index-type", "hnsw",
+            "--num-node-links", "8",
+            "--ef-construction", "32",
+            "--ef-search", "32",
+            "--k", "10",
+            "--batch-size", "64",
+            "--metrics-file", str(td / "metrics_hnsw.json"),
+            "--no-plot",
+        ]
+    )
+    rows = run_experiment(args)
+    assert len(rows) == 1
+    assert rows[0]["recall"] == 1.0  # fake is exact brute force
+    assert rows[0]["distance_computations"] > 0
+    assert rows[0]["index_size"] > 0
+
+
 def test_metric_registry_coverage():
     assert {
         "recall", "qps", "latency_p50", "latency_p90", "latency_p95",
