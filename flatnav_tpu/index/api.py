@@ -162,8 +162,11 @@ class Index:
         labels: Optional[Sequence[int]] = None,
     ) -> None:
         """Insert a batch of vectors (bindings.cpp:64-119 addImpl +
-        Index::addBatch, Index.h:300-329). Default labels are the insertion
-        iota, matching addImpl's `labels = iota` default."""
+        Index::addBatch, Index.h:300-329). Default labels continue the
+        GLOBAL insertion iota (num_nodes..num_nodes+n) — deviating from
+        the reference's per-call 0..n default (bindings.cpp:86-88), which
+        silently duplicates labels across multiple add() calls; see
+        docs/python_api.md."""
         if num_initializations <= 0:
             raise ValueError("num_initializations must be greater than 0.")
         data = np.asarray(data)
@@ -228,12 +231,21 @@ class Index:
                 # pad partial trailing chunk to the bucket to avoid recompile
                 pad = bs - (hi - lo)
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+            # integer indexes keep integer queries so the exact int32
+            # distance path applies (reference parity,
+            # SquaredL2SimdExtensions.h:32-76); others query in float32
+            if np.issubdtype(self._data_type.numpy_dtype, np.integer):
+                qdev = jnp.asarray(
+                    chunk.astype(self._data_type.numpy_dtype, copy=False)
+                )
+            else:
+                qdev = jnp.asarray(chunk, dtype=jnp.float32)
             res = batched_search(
                 g.vectors,
                 g.links,
                 g.labels,
                 g.num_nodes,
-                jnp.asarray(chunk, dtype=jnp.float32),
+                qdev,
                 k=K,
                 ef=max(ef_search, K),  # Index.h:390
                 metric=self._metric,

@@ -76,34 +76,37 @@ def select_neighbors(
     """
     w, c = cand_dists.shape
     precompute = w * c * c * 4 <= (1 << 30)
+    is_int = jnp.issubdtype(cand_vecs.dtype, jnp.integer)
+    # exact int32 accumulation for integer data; f32 for everything else
+    cand_vecs = cand_vecs.astype(jnp.int32 if is_int else jnp.float32)
 
     if precompute:
         dots = jnp.einsum(
             "wid,wjd->wij",
             cand_vecs,
             cand_vecs,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.int32 if is_int else jnp.float32,
+            precision=None if is_int else jax.lax.Precision.HIGHEST,
         )
         if metric == MetricType.IP:
-            pair_d = 1.0 - dots
+            pair_d = 1.0 - dots.astype(jnp.float32)
         else:
             sq = jnp.sum(cand_vecs * cand_vecs, axis=-1)  # [W, C]
             pair_d = jnp.maximum(
-                sq[:, :, None] - 2.0 * dots + sq[:, None, :], 0.0
-            )
+                sq[:, :, None] - 2 * dots + sq[:, None, :], 0
+            ).astype(jnp.float32)
 
     def col_dist(i):
         if precompute:
             return pair_d[:, :, i]
-        vec_i = cand_vecs[:, i, :]
+        vec_i = jnp.take(cand_vecs, i, axis=1)
         if metric == MetricType.IP:
             return 1.0 - jnp.einsum(
                 "wcd,wd->wc", cand_vecs, vec_i,
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=jnp.int32 if is_int else jnp.float32,
+            ).astype(jnp.float32)
         diff = cand_vecs - vec_i[:, None, :]
-        return jnp.sum(diff * diff, axis=-1)  # [W, C] dist(c_j, c_i)
+        return jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
 
     # The scan is inherently sequential (each decision depends on all prior
     # kept candidates, Index.h:732-756), but loop ITERATIONS carry runtime
@@ -143,16 +146,31 @@ def select_neighbors(
         step,
         (jnp.zeros((w, c), jnp.bool_), jnp.zeros((w,), jnp.int32)),
     )
+    # Reference early-return parity (Index.h:715-717): with at most m
+    # candidates, keep ALL of them unpruned — the diversity filter only
+    # kicks in when there is something to choose between. This preserves
+    # connectivity in low-candidate regimes (early waves, small graphs).
+    valid_mask = jnp.isfinite(cand_dists)
+    valid_count = jnp.sum(valid_mask, axis=1).astype(jnp.int32)
+    few = valid_count <= m
+    kept_mask = jnp.where(few[:, None], valid_mask, kept_mask)
+    count = jnp.where(few, valid_count, count)
     # Compress kept entries to the front, preserving ascending-dist order.
     order = jnp.argsort(~kept_mask, axis=1, stable=True)  # kept first
     sorted_ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :m]
+    sorted_d = jnp.take_along_axis(cand_dists, order, axis=1)[:, :m]
+    if c < m:  # fewer candidate slots than the edge budget
+        sorted_ids = jnp.pad(sorted_ids, ((0, 0), (0, m - c)), constant_values=-1)
+        sorted_d = jnp.pad(sorted_d, ((0, 0), (0, m - c)), constant_values=jnp.inf)
     slot = jnp.arange(m, dtype=jnp.int32)[None, :]
     kept_ids = jnp.where(slot < count[:, None], sorted_ids, -1)
-    return kept_ids, count
+    kept_dists = jnp.where(slot < count[:, None], sorted_d, jnp.inf)
+    return kept_ids, count, kept_dists
 
 
 class WaveSelection(NamedTuple):
     kept_ids: jax.Array  # [W, m_sel], -1 padded
+    kept_dists: jax.Array  # [W, m_sel], +inf padded (dist(query, kept))
     dist_computations: jax.Array
     hops: jax.Array
 
@@ -199,12 +217,13 @@ def wave_search_select(
     candidates are at least as good as what a sequential beam search would
     have found.
     """
-    qf = new_vecs.astype(jnp.float32)
+    # storage dtype flows through: integer data keeps the exact int32
+    # distance path, floats are widened inside the kernels
     beam = beam_search(
         vectors,
         links,
         num_nodes,
-        qf,
+        new_vecs,
         ef=ef_construction,
         metric=metric,
         num_initializations=num_initializations,
@@ -215,7 +234,7 @@ def wave_search_select(
     w = new_vecs.shape[0]
     c2 = min(intra_candidates, w) if intra_candidates else 0
     if c2 > 0:
-        intra = pairwise_distances(qf, qf, metric)  # [W, W]
+        intra = pairwise_distances(new_vecs, new_vecs, metric)  # [W, W]
         lane = jnp.arange(w, dtype=jnp.int32)
         allowed = jnp.logical_and(
             lane[None, :] < lane[:, None], lane[None, :] < n_valid
@@ -233,9 +252,11 @@ def wave_search_select(
         )
 
     safe_ids = jnp.maximum(cand_i, 0)
-    cand_vecs = jnp.take(vectors, safe_ids, axis=0).astype(jnp.float32)
-    kept_ids, _ = select_neighbors(cand_d, cand_i, cand_vecs, m_sel, metric)
-    return WaveSelection(kept_ids, beam.dist_computations, beam.hops)
+    cand_vecs = jnp.take(vectors, safe_ids, axis=0)  # storage dtype
+    kept_ids, _, kept_d = select_neighbors(
+        cand_d, cand_i, cand_vecs, m_sel, metric
+    )
+    return WaveSelection(kept_ids, kept_d, beam.dist_computations, beam.hops)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -278,21 +299,25 @@ def commit_links(
     return links, num_nodes + n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(1,))
-def back_edge_commit(
-    vectors: jax.Array,
+def _back_edge_core(
+    gather_vecs,
     links: jax.Array,
-    targets: jax.Array,  # [T] node ids (padding rows may repeat a real id? no: padded with -1 -> masked)
+    targets: jax.Array,  # [T] node ids, -1 padded (masked below)
     requesters: jax.Array,  # [T, R] new-node ids, -1 padded
-    *,
     metric: MetricType,
 ) -> jax.Array:
     """Phase 3: back-edge insert/repair for all touched targets in a wave.
 
-    For each target: free self-loop slots absorb requesters in id order
-    (Index.h:783-790); on overflow the target's links are re-pruned with the
-    diversity heuristic over {existing links} + {requesters}
+    For each target: free self-loop slots absorb requesters in closest-first
+    order (Index.h:783-790); on overflow the target's links are re-pruned
+    with the diversity heuristic over {existing links} + {requesters}
     (Index.h:792-825), then self-loop padded.
+
+    `gather_vecs(ids)` returns distance-ready vectors (storage dtype for raw
+    tables — the kernels widen floats / accumulate ints exactly —, decoded
+    float32 for PQ) for an arbitrary-shaped id
+    array — a raw-table gather for flat indexes, a gather+decode of only
+    the touched rows for PQ indexes (never a full-table decode).
     """
     m = links.shape[1]
     t, r = requesters.shape
@@ -318,9 +343,9 @@ def back_edge_commit(
     filled = jnp.where(slot < total[:, None], packed, safe_targets[:, None])
 
     # ---- prune path ------------------------------------------------------
-    tgt_vecs = jnp.take(vectors, safe_targets, axis=0).astype(jnp.float32)
+    tgt_vecs = gather_vecs(safe_targets)
     safe_cand = jnp.where(cand_valid, cand_ids, 0)
-    cand_vecs = jnp.take(vectors, safe_cand, axis=0).astype(jnp.float32)
+    cand_vecs = gather_vecs(safe_cand)
     dists = query_block_distances(tgt_vecs, cand_vecs, metric)
     dists = jnp.where(cand_valid, dists, jnp.inf)
     sd, si = jax.lax.sort(
@@ -334,12 +359,31 @@ def back_edge_commit(
         jnp.argsort(dists, axis=1, stable=True)[:, :, None],
         axis=1,
     )
-    kept_ids, count = select_neighbors(sd, si, sv, m, metric)
+    kept_ids, count, _ = select_neighbors(sd, si, sv, m, metric)
     pruned = jnp.where(kept_ids >= 0, kept_ids, safe_targets[:, None])
 
     new_rows = jnp.where(overflow[:, None], pruned, filled)
     new_rows = jnp.where(row_valid[:, None], new_rows, existing)
     return links.at[safe_targets].set(new_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(1,))
+def back_edge_commit(
+    vectors: jax.Array,
+    links: jax.Array,
+    targets: jax.Array,
+    requesters: jax.Array,
+    *,
+    metric: MetricType,
+) -> jax.Array:
+    """Back-edge insert/repair over a raw vector table (see
+    _back_edge_core)."""
+    def gather(ids):
+        # storage dtype: the distance kernel and select_neighbors pick the
+        # exact int32 path for integer tables, widen floats themselves
+        return jnp.take(vectors, ids, axis=0)
+
+    return _back_edge_core(gather, links, targets, requesters, metric)
 
 
 # ---------------------------------------------------------------------------
@@ -354,16 +398,20 @@ _BE_R_SMALL = 8
 _BE_R_CAP = 64
 
 
-def _commit_back_edges(vectors, links, tgt, src_rep, metric):
-    """Group (target <- source) requests by target and apply
-    back_edge_commit in canonical shape buckets.
+def _commit_back_edges(commit_fn, links, tgt, src_rep, dist_rep=None):
+    """Group (target <- source) requests by target and apply a back-edge
+    commit function (`commit_fn(links, targets, requesters) -> links`) in
+    canonical shape buckets.
 
-    Requesters beyond _BE_R_CAP per target per wave are dropped (lowest
-    source ids win, deterministically): a target's links can hold at most M
-    entries after re-pruning, so candidates past the closest few dozen are
-    pruned anyway; the cap keeps the jit shape set tiny.
+    Requesters beyond _BE_R_CAP per target per wave are dropped, CLOSEST
+    (by dist(source, target), which selectNeighbors already computed)
+    first, source id as the deterministic tie-break: a target's links can
+    hold at most M entries after re-pruning, so only the closest few dozen
+    candidates can survive anyway; the cap keeps the jit shape set tiny.
     """
-    order = np.lexsort((src_rep, tgt))  # by target, then source id
+    if dist_rep is None:
+        dist_rep = np.zeros_like(src_rep, dtype=np.float32)
+    order = np.lexsort((src_rep, dist_rep, tgt))  # target, then distance
     tgt, src_rep = tgt[order], src_rep[order]
     uniq, start_idx, counts = np.unique(
         tgt, return_index=True, return_counts=True
@@ -383,13 +431,7 @@ def _commit_back_edges(vectors, links, tgt, src_rep, metric):
         tgt_arr[: hi - lo] = uniq[lo:hi]
         req_arr = np.full((t_chunk, r_bucket), -1, np.int32)
         req_arr[: hi - lo] = req[lo:hi]
-        links = back_edge_commit(
-            vectors,
-            links,
-            jnp.asarray(tgt_arr),
-            jnp.asarray(req_arr),
-            metric=metric,
-        )
+        links = commit_fn(links, jnp.asarray(tgt_arr), jnp.asarray(req_arr))
     return links
 
 #: power-of-two shape buckets used to bound jit recompilation
@@ -419,6 +461,7 @@ def add_batch(
     intra_candidates: int | None = None,
     stats: dict | None = None,
     mesh=None,
+    table_spec: str = "replicated",
     expand_factor: int = 16,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
@@ -426,12 +469,22 @@ def add_batch(
     Host-side analog of Index::addBatch (Index.h:300-329): orchestrates the
     wave loop; all per-point math runs on device.
 
-    With `mesh`, waves shard over the mesh's `data` axis with the graph
-    replicated — the multi-chip analog of the reference's insert thread
-    pool (Multithreading.h:18-48 + addBatch Index.h:320-328). The wave
-    pipeline is deterministic, so the sharded build produces BIT-IDENTICAL
-    graphs to the single-device build (stronger than the reference's
-    recall-level parity, test_parallel_insertions.py).
+    With `mesh`, waves shard over the mesh's `data` axis — the multi-chip
+    analog of the reference's insert thread pool (Multithreading.h:18-48 +
+    addBatch Index.h:320-328). `table_spec` picks the node-table layout:
+
+      * "replicated" (default): the graph is replicated per chip; linear
+        insert throughput while the index fits one chip's HBM.
+      * "model": vectors/links/labels rows shard over the mesh's `model`
+        axis (padded to divide evenly), so indexes LARGER than one chip's
+        HBM can be built — XLA's SPMD partitioner distributes the wave
+        ops' gathers/scatters/updates over the row shards (SURVEY.md §2.6
+        TP row; reference-scale grids experiments/Makefile:8-23).
+
+    The wave pipeline is deterministic and sharding never changes values
+    (one-owner merges), so every layout produces BIT-IDENTICAL graphs to
+    the single-device build (stronger than the reference's recall-level
+    parity, test_parallel_insertions.py) — asserted in tests/test_sharding.
     """
     n = data.shape[0]
     cap = graph.capacity
@@ -454,13 +507,41 @@ def add_batch(
     labels = np.asarray(labels, dtype=np.int32)
 
     if mesh is not None:
-        from flatnav_tpu.parallel.sharding import data_sharded, replicated
+        from flatnav_tpu.parallel.sharding import (
+            MODEL_AXIS,
+            data_sharded,
+            replicated,
+            row_sharded,
+        )
 
         rep = replicated(mesh)
         wave_sharding = data_sharded(mesh)
-        vectors = jax.device_put(vectors, rep)
-        links = jax.device_put(links, rep)
-        lab = jax.device_put(lab, rep)
+        if table_spec == "model":
+            n_model = mesh.shape[MODEL_AXIS]
+
+            def _pad_rows(a, self_loop: bool):
+                pad = (-a.shape[0]) % n_model
+                if pad == 0:
+                    return a
+                if self_loop:  # junk tail rows stay in the untouched state
+                    tail = jnp.broadcast_to(
+                        jnp.arange(
+                            a.shape[0], a.shape[0] + pad, dtype=jnp.int32
+                        )[:, None],
+                        (pad, a.shape[1]),
+                    )
+                else:
+                    tail = jnp.zeros((pad,) + a.shape[1:], a.dtype)
+                return jnp.concatenate([a, tail], axis=0)
+
+            table_put = row_sharded(mesh)
+            vectors = jax.device_put(_pad_rows(vectors, False), table_put)
+            links = jax.device_put(_pad_rows(links, True), table_put)
+            lab = jax.device_put(_pad_rows(lab, False), table_put)
+        else:
+            vectors = jax.device_put(vectors, rep)
+            links = jax.device_put(links, rep)
+            lab = jax.device_put(lab, rep)
         num_nodes = jax.device_put(num_nodes, rep)
     else:
         wave_sharding = None
@@ -519,15 +600,19 @@ def add_batch(
 
         # ---- back edges (host grouping, device compute) ------------------
         kept = np.asarray(sel.kept_ids[:w])  # [w, m_sel]
+        kept_d = np.asarray(sel.kept_dists[:w])  # dist(src, tgt)
         src = committed + np.arange(w, dtype=np.int32)
         tgt = kept.reshape(-1)
         src_rep = np.repeat(src, m_sel)
+        dist_rep = kept_d.reshape(-1)
         sel_mask = tgt >= 0
         tgt, src_rep = tgt[sel_mask], src_rep[sel_mask]
+        dist_rep = dist_rep[sel_mask]
         if tgt.size:
-            links = _commit_back_edges(
-                vectors, links, tgt, src_rep, metric
-            )
+            def commit(links_, t_, r_, _v=vectors):
+                return back_edge_commit(_v, links_, t_, r_, metric=metric)
+
+            links = _commit_back_edges(commit, links, tgt, src_rep, dist_rep)
 
         committed += w
         pos += w

@@ -184,17 +184,29 @@ def beam_search_core(
     num_initializations: int = 100,
     max_hops: int = 0,
     expand_factor: int = 1,
+    links_block=None,
 ) -> BeamResults:
     """Distance-backend-agnostic beam search loop (trace-time helper; call
     from inside a jitted wrapper).
 
     `score_block(ids [B, C] int32) -> [B, C] float32` evaluates the distance
     from query b to node ids[b, c] — raw vectors (beam_search), PQ-ADC code
-    tables (quantization.pq), or any future backend. Everything else — the
-    hop loop, visited bitmask, beam merge — is backend-independent.
+    tables (quantization.pq), a row-sharded table with a psum merge
+    (parallel.sharded_graph), or any future backend.
+
+    `links_block(ids [B, E] int32) -> [B, E*M] int32` resolves neighbor
+    lists; defaults to a direct table gather. The sharded backend supplies
+    an ownership-masked gather + psum. Everything else — the hop loop,
+    visited state, beam merge — is backend-independent, so single-chip and
+    tensor-parallel searches share ONE hop body (and stay bit-identical).
     """
     m = links.shape[1]
     b = batch
+    if links_block is None:
+        def links_block(ids):
+            return jnp.take(links, ids.reshape(-1), axis=0).reshape(
+                b, ids.shape[1] * m
+            )
     rowix = jnp.arange(b, dtype=jnp.int32)
     e_f = max(min(expand_factor, ef), 1)
     em = e_f * m
@@ -268,7 +280,7 @@ def beam_search_core(
         )
         beam_e = jnp.logical_or(beam_e, hit)
 
-        nbrs = jnp.take(links, cur_ids.reshape(-1), axis=0).reshape(b, em)
+        nbrs = links_block(cur_ids)  # [B, E*M]
         valid_src = jnp.repeat(sel_valid, m, axis=1)  # [B, E*M]
 
         if use_history:
@@ -371,7 +383,14 @@ def beam_search(
     num_nodes: scalar int32, committed prefix length
     queries: [B, d]
     """
-    queries = queries.astype(jnp.float32)
+    # integer queries against an integer table keep their dtype so the
+    # distance kernel's exact int32 accumulation applies (reference
+    # precedent SquaredL2SimdExtensions.h:32-76); everything else runs f32
+    if not (
+        jnp.issubdtype(queries.dtype, jnp.integer)
+        and jnp.issubdtype(vectors.dtype, jnp.integer)
+    ):
+        queries = queries.astype(jnp.float32)
 
     def score_block(ids: jax.Array) -> jax.Array:
         rows = jnp.take(vectors, ids, axis=0)  # [B, C, d] gather (hot)

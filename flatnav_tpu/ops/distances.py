@@ -16,11 +16,12 @@ Metric conventions match the reference exactly:
   * IP distance = 1 - <x, y> (IPDistanceDispatcher.h:10-16); "angular" is IP
     over externally pre-normalized vectors.
 
-All distances are computed and returned in float32. Integer inputs are
-widened before multiply; for uint8/int8 at the reference's dimensions
-(d <= 960, values <= 255) the products and partial sums stay well inside
-float32's exact-integer range per tile, matching the reference's int32
-accumulation (SquaredL2SimdExtensions.h:32-76) in observable results.
+All distances are returned in float32. uint8/int8 inputs ACCUMULATE IN
+INT32 (the MXU's native integer-matmul accumulator), matching the
+reference's int32 accumulation (SquaredL2SimdExtensions.h:32-76) exactly:
+worst-case uint8 L2 at d=960 sums to ~6.2e7 > 2^24, past float32's
+exact-integer range, so float accumulation would be inexact there
+(tested at the boundary in tests/test_distances.py).
 """
 
 from __future__ import annotations
@@ -44,8 +45,18 @@ def _as_f32(x: jax.Array) -> jax.Array:
     return x.astype(jnp.float32)
 
 
+def _is_int(x: jax.Array) -> bool:
+    return jnp.issubdtype(x.dtype, jnp.integer)
+
+
 def squared_norms(x: jax.Array) -> jax.Array:
-    """Row-wise squared L2 norms, float32. x: [..., d] -> [...]."""
+    """Row-wise squared L2 norms, float32. x: [..., d] -> [...].
+
+    Integer inputs accumulate in int32 (exact for uint8/int8 up to
+    d = 2^31 / 255^2 ≈ 33k), then convert."""
+    if _is_int(x):
+        xi = x.astype(jnp.int32)
+        return jnp.sum(xi * xi, axis=-1).astype(jnp.float32)
     xf = _as_f32(x)
     return jnp.sum(xf * xf, axis=-1)
 
@@ -64,6 +75,25 @@ def pairwise_distances(
     reference's per-pair AVX loops, and also the building block for exact
     ground truth (cf. TPU-KNN, arXiv:2206.14286).
     """
+    if _is_int(x) and _is_int(y):
+        # int32 MXU accumulation: exact integer distances (reference
+        # precedent SquaredL2SimdExtensions.h:32-76); float accumulation
+        # is inexact past 2^24 (uint8 L2 at d=960 reaches ~6.2e7).
+        dots_i = jax.lax.dot_general(
+            x.astype(jnp.int32),
+            y.astype(jnp.int32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if metric == MetricType.IP:
+            return 1.0 - dots_i.astype(jnp.float32)
+        xi = x.astype(jnp.int32)
+        yi = y.astype(jnp.int32)
+        xs_i = jnp.sum(xi * xi, axis=-1)
+        ys_i = jnp.sum(yi * yi, axis=-1)
+        d2_i = xs_i[:, None] - 2 * dots_i + ys_i[None, :]
+        return jnp.maximum(d2_i, 0).astype(jnp.float32)
+
     xf, yf = _as_f32(x), _as_f32(y)
     # HIGHEST keeps full fp32 accuracy on TPU (3-pass bf16 matmul); this
     # path feeds the exact-kNN oracle and pruning decisions, so accuracy
@@ -83,6 +113,27 @@ def pairwise_distances(
     return jnp.maximum(d2, 0.0)
 
 
+def _tree_sum_last(x: jax.Array) -> jax.Array:
+    """Sum over the last axis with a FIXED binary-tree association.
+
+    jnp.sum lowers to a reduce whose accumulation order is
+    implementation-chosen per program — two differently-fused programs may
+    reassociate differently, breaking bit-identity between the single-chip
+    and tensor-parallel search paths. Explicit pairwise adds pin the order
+    (XLA never reassociates distinct f32 adds), making hop distances
+    bit-reproducible across program variants.
+    """
+    d = x.shape[-1]
+    p = 1 << max(0, (d - 1)).bit_length()
+    if p != d:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, p - d)]
+        x = jnp.pad(x, pad)
+    while p > 1:
+        p //= 2
+        x = x[..., :p] + x[..., p : 2 * p]
+    return x[..., 0]
+
+
 def query_block_distances(
     queries: jax.Array, blocks: jax.Array, metric: MetricType
 ) -> jax.Array:
@@ -97,12 +148,20 @@ def query_block_distances(
     used for L2: per-hop work is HBM-gather-bound, and the direct form
     avoids the cancellation of the matmul form.
     """
+    if _is_int(queries) and _is_int(blocks):
+        # exact int32 accumulation (see pairwise_distances)
+        qi = queries.astype(jnp.int32)[:, None, :]
+        bi = blocks.astype(jnp.int32)
+        if metric == MetricType.IP:
+            return 1.0 - jnp.sum(qi * bi, axis=-1).astype(jnp.float32)
+        diff = qi - bi
+        return jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
     qf = _as_f32(queries)[:, None, :]
     bf = _as_f32(blocks)
     if metric == MetricType.IP:
-        return 1.0 - jnp.sum(qf * bf, axis=-1)
+        return 1.0 - _tree_sum_last(qf * bf)
     diff = qf - bf
-    return jnp.sum(diff * diff, axis=-1)
+    return _tree_sum_last(diff * diff)
 
 
 @functools.partial(

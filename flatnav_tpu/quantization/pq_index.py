@@ -50,8 +50,33 @@ from flatnav_tpu.quantization.pq import (
 
 class PQWaveSelection(NamedTuple):
     kept_ids: jax.Array
+    kept_dists: jax.Array
     dist_computations: jax.Array
     hops: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("metric",), donate_argnums=(2,))
+def back_edge_commit_pq(
+    codes: jax.Array,  # [rows, M_pq] uint8
+    centroids: jax.Array,  # [M_pq, 256, dsub]
+    links: jax.Array,
+    targets: jax.Array,
+    requesters: jax.Array,
+    *,
+    metric: MetricType,
+) -> jax.Array:
+    """PQ back-edge insert/repair: decodes ONLY the touched rows
+    (targets + their links + requesters, O(T*(M+R)*d) scratch), never the
+    full code table — the 100M-scale requirement PQ exists to serve
+    (reference decode: ProductQuantization.h:286-306)."""
+    from flatnav_tpu.index.build import _back_edge_core
+
+    def gather(ids):
+        c = jnp.take(codes, ids, axis=0)
+        flat = c.reshape(-1, c.shape[-1])
+        return _decode(centroids, flat).reshape(*ids.shape, -1)
+
+    return _back_edge_core(gather, links, targets, requesters, metric)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -133,8 +158,10 @@ def _pq_wave_search_select(
     cand_vecs = _decode(centroids, flat).reshape(
         cand_codes.shape[0], cand_codes.shape[1], -1
     )
-    kept_ids, _ = select_neighbors(cand_d, cand_i, cand_vecs, m_sel, metric)
-    return PQWaveSelection(kept_ids, beam.dist_computations, beam.hops)
+    kept_ids, _, kept_d = select_neighbors(
+        cand_d, cand_i, cand_vecs, m_sel, metric
+    )
+    return PQWaveSelection(kept_ids, kept_d, beam.dist_computations, beam.hops)
 
 
 class PQIndex:
@@ -251,22 +278,23 @@ class PQIndex:
             self._links, self._num_nodes = commit_links(
                 self._links, self._num_nodes, sel.kept_ids, n_valid
             )
-            # back edges over decoded rows: reuse the raw machinery by
-            # decoding the full candidate rows on the fly via a decoded
-            # proxy table for the touched ids only
+            # back edges: decode only the touched rows (back_edge_commit_pq)
             kept = np.asarray(sel.kept_ids[:w])
+            kept_d = np.asarray(sel.kept_dists[:w])
             src = committed + np.arange(w, dtype=np.int32)
             tgt = kept.reshape(-1)
             src_rep = np.repeat(src, m_sel)
+            dist_rep = kept_d.reshape(-1)
             mask = tgt >= 0
-            tgt, src_rep = tgt[mask], src_rep[mask]
+            tgt, src_rep, dist_rep = tgt[mask], src_rep[mask], dist_rep[mask]
             if tgt.size:
-                # TODO(scale): decode only the touched rows; full-table
-                # decode is O(rows*d) scratch per wave — fine at 1M-scale,
-                # wasteful at 100M-scale.
-                decoded_all = _decode(centroids, self._codes)  # [rows, d]
+                def commit(links_, t_, r_, _c=self._codes):
+                    return back_edge_commit_pq(
+                        _c, centroids, links_, t_, r_, metric=self._metric
+                    )
+
                 self._links = _commit_back_edges(
-                    decoded_all, self._links, tgt, src_rep, self._metric
+                    commit, self._links, tgt, src_rep, dist_rep
                 )
             committed += w
             pos += w
@@ -303,17 +331,21 @@ class PQIndex:
     # ------------------------------------------------------------------ save
     def save(self, path: str) -> None:
         n = self.num_nodes
-        np.savez(
-            path,
-            codes=np.asarray(self._codes[:n]),
-            links=np.asarray(self._links[:n]),
-            labels=np.asarray(self._labels[:n]),
-            centroids=np.asarray(self.pq.codebook.centroids),
-            meta=np.asarray(
-                [self._capacity, self.max_edges_per_node,
-                 1 if self._metric == MetricType.IP else 0]
-            ),
-        )
+        # Open the file ourselves: np.savez(path) appends ".npz" to bare
+        # paths, but save must honor the literal filename (reference
+        # saveIndex accepts arbitrary names, Index.h:481-490).
+        with open(path, "wb") as f:
+            np.savez(
+                f,
+                codes=np.asarray(self._codes[:n]),
+                links=np.asarray(self._links[:n]),
+                labels=np.asarray(self._labels[:n]),
+                centroids=np.asarray(self.pq.codebook.centroids),
+                meta=np.asarray(
+                    [self._capacity, self.max_edges_per_node,
+                     1 if self._metric == MetricType.IP else 0]
+                ),
+            )
 
     @classmethod
     def load(cls, path: str) -> "PQIndex":

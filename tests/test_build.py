@@ -103,8 +103,26 @@ def test_select_neighbors_keeps_diverse(rng):
     cd = jnp.asarray(d[:, order])
     ci = jnp.asarray(order[None, :].astype(np.int32))
     cv = jnp.asarray(cands[order][None])
-    kept, count = select_neighbors(cd, ci, cv, 4, MetricType.L2)
+    kept, count, _ = select_neighbors(cd, ci, cv, 4, MetricType.L2)
     kept = np.asarray(kept)[0]
     # [1.1, 0] is dominated by [1.0, 0]; [0, 1.6] dominated by [0, 1.5]
     assert 0 in kept and 2 in kept
     assert 1 not in kept and 3 not in kept
+
+
+def test_select_neighbors_keeps_all_when_few(rng):
+    """Reference early-return (Index.h:715-717): with <= m candidates the
+    diversity filter is skipped and ALL are kept, even dominated ones."""
+    q = np.zeros((1, 2), np.float32)
+    cands = np.array([[1.0, 0.0], [1.1, 0.0], [0.0, 1.5]], np.float32)
+    d = ((cands - q) ** 2).sum(1)[None, :]
+    order = np.argsort(d[0])
+    cd = jnp.asarray(d[:, order])
+    ci = jnp.asarray(order[None, :].astype(np.int32))
+    cv = jnp.asarray(cands[order][None])
+    kept, count, kept_d = select_neighbors(cd, ci, cv, 4, MetricType.L2)
+    assert int(count[0]) == 3
+    assert set(np.asarray(kept)[0, :3].tolist()) == {0, 1, 2}
+    # kept_dists align with kept_ids, ascending, +inf padded
+    kd = np.asarray(kept_d)[0]
+    assert np.all(np.diff(kd[:3]) >= 0) and np.isinf(kd[3])

@@ -57,6 +57,43 @@ def test_pairwise_integer_dtypes_exact(rng, dtype):
     np.testing.assert_array_equal(got, want.astype(np.float32))
 
 
+@pytest.mark.parametrize("dtype", [np.uint8, np.int8])
+def test_integer_exactness_at_d960_boundary(rng, dtype):
+    """uint8 L2 at d=960 sums past 2^24 (worst case ~6.2e7) — beyond
+    float32's exact-integer range. The int32-accumulation path must stay
+    EXACT there (reference int32 accumulation,
+    SquaredL2SimdExtensions.h:32-76). Uses extreme values so float
+    accumulation would provably differ."""
+    info = np.iinfo(dtype)
+    d = 960
+    x = rng.integers(info.min, info.max + 1, (7, d)).astype(dtype)
+    y = rng.integers(info.min, info.max + 1, (11, d)).astype(dtype)
+    # include the true worst case rows
+    x[0] = info.max
+    y[0] = info.min
+    want = np_l2(x, y)  # float64 == exact int here
+    got = np.asarray(
+        pairwise_distances(jnp.asarray(x), jnp.asarray(y), MetricType.L2)
+    )
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    # per-hop direct form too
+    blocks = np.broadcast_to(y[None, :7], (7, 7, d)).astype(dtype)
+    got_b = np.asarray(
+        query_block_distances(
+            jnp.asarray(x), jnp.asarray(np.ascontiguousarray(blocks)),
+            MetricType.L2,
+        )
+    )
+    np.testing.assert_array_equal(got_b, want[:, :7].astype(np.float32))
+    # IP: the dot accumulates exactly in int32; the final 1-x runs in f32
+    # (one rounding of the dot, mirrored in the oracle)
+    got_ip = np.asarray(
+        pairwise_distances(jnp.asarray(x), jnp.asarray(y), MetricType.IP)
+    )
+    dot_f32 = (x.astype(np.int64) @ y.astype(np.int64).T).astype(np.float32)
+    np.testing.assert_array_equal(got_ip, np.float32(1.0) - dot_f32)
+
+
 @pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
 def test_query_block_distances(rng, metric):
     b, m, d = 11, 32, 64

@@ -72,8 +72,12 @@ def test_pq_index_save_load_identical(clustered_data, tmp_path):
     index = PQIndex(pq, dataset_size=2000, max_edges_per_node=8)
     index.add(data[:2000], ef_construction=32)
     d0, l0 = index.search(queries, K=5, ef_search=32)
-    path = str(tmp_path / "pq_index.npz")
+    # .bin (not .npz): save must honor the literal filename
+    # (Index.h:481-490 accepts arbitrary names)
+    path = str(tmp_path / "pq_index.bin")
     index.save(path)
+    assert (tmp_path / "pq_index.bin").exists()
+    assert not (tmp_path / "pq_index.bin.npz").exists()
     reloaded = PQIndex.load(path)
     d1, l1 = reloaded.search(queries, K=5, ef_search=32)
     np.testing.assert_array_equal(l0, l1)
@@ -83,3 +87,58 @@ def test_pq_index_save_load_identical(clustered_data, tmp_path):
 def test_pq_index_requires_trained_quantizer():
     with pytest.raises(RuntimeError, match="trained"):
         PQIndex(ProductQuantizer(dim=16, num_subquantizers=4), 100, 8)
+
+
+def test_pq_back_edges_never_decode_full_table():
+    """100M-scale requirement: back-edge repair must decode only touched
+    rows (O(T*(M+R)*d) scratch), never the whole code table. Verified at
+    the jaxpr level: with a 500k-row capacity, no float32 intermediate of
+    table scale may appear in the traced commit."""
+    import jax
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq_index import back_edge_commit_pq
+
+    rows, m_pq, nc, dsub, m, t, r = 500_000, 4, 256, 8, 8, 256, 8
+    d = m_pq * dsub
+
+    def run(codes, centroids, links, targets, requesters):
+        return back_edge_commit_pq(
+            codes, centroids, links, targets, requesters,
+            metric=MetricType.L2,
+        )
+
+    jaxpr = jax.make_jaxpr(run)(
+        jax.ShapeDtypeStruct((rows, m_pq), jnp.uint8),
+        jax.ShapeDtypeStruct((m_pq, nc, dsub), jnp.float32),
+        jax.ShapeDtypeStruct((rows, m), jnp.int32),
+        jax.ShapeDtypeStruct((t,), jnp.int32),
+        jax.ShapeDtypeStruct((t, r), jnp.int32),
+    )
+    budget = t * (m + r) * d * 4  # touched-rows scratch
+    table_scale = rows * d  # full-table decode would be this many f32s
+
+    def max_f32_elems(jpr):
+        worst = 0
+        for eqn in jpr.eqns:
+            for v in eqn.outvars:
+                aval = getattr(v, "aval", None)
+                if aval is not None and aval.dtype == jnp.float32:
+                    worst = max(worst, int(np.prod(aval.shape) or 1))
+        return worst
+
+    def walk(jpr):
+        worst = max_f32_elems(jpr)
+        for eqn in jpr.eqns:
+            for val in eqn.params.values():
+                inner = getattr(val, "jaxpr", None)
+                if inner is not None:
+                    worst = max(worst, walk(inner))
+        return worst
+
+    worst = walk(jaxpr.jaxpr)
+    assert worst < table_scale, (
+        f"found a float32 intermediate of {worst} elements "
+        f"(table-scale decode = {table_scale})"
+    )
+    assert worst <= 4 * budget  # touched-rows scratch, small constant slack

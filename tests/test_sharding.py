@@ -56,8 +56,34 @@ def test_model_sharded_matches_single(small_graph, data_ax, model_ax):
     )
     res = sharded_search(g, queries, mesh, k=5, ef=32)
     d0, l0 = _single_device_results(g, queries)
-    np.testing.assert_allclose(np.asarray(res.dists), d0, rtol=1e-5, atol=1e-5)
-    assert (np.asarray(res.labels) == l0).mean() > 0.98  # fp-tie permutations
+    # The sharded path reuses beam_search_core with psum-merged one-owner
+    # contributions (x + 0 is exact) and a fixed-association tree-sum
+    # distance kernel, so LABELS are exactly equal. Distances may wobble
+    # by ~1 ulp where XLA forms FMAs differently across the two programs
+    # (uncontrollable without breaking kernel fusion) — bounded tightly.
+    np.testing.assert_array_equal(np.asarray(res.labels), l0)
+    np.testing.assert_allclose(np.asarray(res.dists), d0, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("expand_factor", [4])
+def test_model_sharded_expand_factor(small_graph, expand_factor):
+    """The unified hop body brings expand_factor to the TP path for free;
+    results must stay bit-identical to single-device at the same E."""
+    g, queries = small_graph
+    mesh = make_mesh(n_devices=8, data=2, model=4)
+    res = sharded_search(
+        g, queries, mesh, k=5, ef=32, expand_factor=expand_factor
+    )
+    res0 = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, queries, k=5, ef=32,
+        expand_factor=expand_factor,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.labels), np.asarray(res0.labels)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.dists), np.asarray(res0.dists), rtol=0, atol=1e-5
+    )
 
 
 def test_meshes_available():
@@ -85,4 +111,44 @@ def test_data_parallel_build_bit_identical():
     np.testing.assert_array_equal(np.asarray(g1.links), np.asarray(g2.links))
     np.testing.assert_array_equal(
         np.asarray(g1.vectors), np.asarray(g2.vectors)
+    )
+
+
+def test_model_sharded_build_bit_identical():
+    """TP construction (table rows sharded over the model axis) must
+    produce the same graph as the single-device build — indexes larger
+    than one chip's HBM can then be BUILT, not just searched (SURVEY §2.6
+    TP row)."""
+    from flatnav_tpu.index.build import add_batch
+    from flatnav_tpu.index.graph import make_empty_graph
+
+    rng = np.random.default_rng(9)
+    n, d, m = 1000, 16, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    g1 = add_batch(
+        make_empty_graph(n, d, m), data, np.arange(n),
+        ef_construction=32, metric=MetricType.L2,
+    )
+    mesh = make_mesh(n_devices=8, data=2, model=4)
+    g2 = add_batch(
+        make_empty_graph(n, d, m), data, np.arange(n),
+        ef_construction=32, metric=MetricType.L2,
+        mesh=mesh, table_spec="model",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1.links[:n]), np.asarray(g2.links[:n])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g1.vectors[:n]), np.asarray(g2.vectors[:n])
+    )
+    # the TP-built graph is directly searchable with the TP search path
+    queries = jnp.asarray(
+        rng.standard_normal((32, d), dtype=np.float32)
+    )
+    res = sharded_search(g2, queries, mesh, k=5, ef=32)
+    res0 = batched_search(
+        g1.vectors, g1.links, g1.labels, g1.num_nodes, queries, k=5, ef=32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.labels), np.asarray(res0.labels)
     )
