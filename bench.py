@@ -1,25 +1,33 @@
 #!/usr/bin/env python
 """Headline benchmark: batched-query QPS at recall@10 >= 0.95.
 
-Config 1 from BASELINE.json: random 100K x 128-d float32, L2, M=32,
-ef_construction=100, k=10 — the README-quickstart-scale workload. Build the
-index on device, sweep ef_search upward until recall@10 >= 0.95 against
-exact on-device ground truth, then measure steady-state batched QPS at that
-operating point.
+Workload: clustered (Gaussian-mixture) 100K x 128-d float32, L2, M=32,
+ef_construction=100, k=10 — the SIFT1M-class regime. Real ann-benchmarks
+datasets cannot be downloaded here (no network egress), and i.i.d. gaussian
+data caps graph recall at ~0.87 for BOTH engines (round-1 measurement), so
+the clustered generator (flatnav_tpu/bench/synth.py) is the honest stand-in
+where the 0.95-recall north star (BASELINE.md) is meaningful.
+
+Build the index on device, sweep ef_search upward until recall@10 >= 0.95
+against exact on-device ground truth, then measure steady-state batched QPS
+at that operating point.
 
 Prints ONE JSON line:
   {"metric": ..., "value": ..., "unit": "qps", "vs_baseline": ...}
 
 vs_baseline compares against the reference C++ engine's single-core QPS at
-the same recall on the same workload, read from baseline_ref.json if present
-(produced by tools/run_reference_baseline.sh, which builds the reference
-headers on this machine); otherwise a conservative published-hardware
-estimate is used and flagged in the auxiliary fields.
+the same recall target ON THE SAME DATA: bench.py dumps the dataset,
+queries, and exact ground truth to raw files and runs
+tools/reference_baseline/bench_ref (the unmodified reference headers built
+natively on this machine). The result is cached in baseline_ref.json keyed
+by the workload; delete that file to force a re-measure.
 """
 
 import argparse
+import hashlib
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,7 +37,8 @@ def _log(msg):
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
 
@@ -38,16 +47,17 @@ enable_compilation_cache()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from flatnav_tpu.bench.synth import clustered  # noqa: E402
 from flatnav_tpu.index import batched_search  # noqa: E402
 from flatnav_tpu.index.build import add_batch  # noqa: E402
 from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
 from flatnav_tpu.ops import MetricType, brute_force_knn  # noqa: E402
 
-# Reference single-core AVX baseline (QPS at recall@10 ~= 0.95 on the same
-# random-100K workload). Measured by tools/run_reference_baseline.sh when
-# possible; this fallback is a generous estimate for a modern AVX512 core
-# (the north-star target is >= 10x this).
+# Reference single-core QPS fallback when bench_ref cannot run (generous
+# estimate for a modern AVX512 core; flagged baseline_measured=false).
 _FALLBACK_REF_QPS = 5000.0
+
+EF_SWEEP = (64, 100, 128, 192, 256, 384, 512, 768, 1024)
 
 
 def _recall(found: np.ndarray, truth: np.ndarray) -> float:
@@ -55,6 +65,65 @@ def _recall(found: np.ndarray, truth: np.ndarray) -> float:
         len(set(f.tolist()) & set(t.tolist())) for f, t in zip(found, truth)
     )
     return hits / truth.size
+
+
+def _recall_dist(found_d: np.ndarray, gt_d: np.ndarray) -> float:
+    """Tie-tolerant recall: a found neighbor counts if its distance is
+    within epsilon of the k-th true distance (ann-benchmarks convention;
+    id-set recall under/over-credits fp-tied neighbors)."""
+    thresh = gt_d[:, -1:] * (1 + 1e-6) + 1e-6
+    return float((found_d <= thresh).mean())
+
+
+def _workload_key(args, data):
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(data[:64]).tobytes())
+    h.update(
+        f"{args.n}:{args.dim}:{args.m}:{args.ef_construction}:"
+        f"{args.k}:{args.target_recall}".encode()
+    )
+    return h.hexdigest()[:16]
+
+
+def _reference_baseline(args, data, queries, gt, key):
+    """Measured single-core reference QPS on the SAME workload, cached."""
+    path = os.path.join(_REPO, "baseline_ref.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            ref = json.load(f)
+        if ref.get("workload_key") == key and ref.get("qps"):
+            return float(ref["qps"]), True, ref
+    binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
+    if not os.path.exists(binary):
+        build = os.path.join(
+            _REPO, "tools/reference_baseline/build_baseline.sh"
+        )
+        try:
+            subprocess.run(["bash", build], check=True, capture_output=True)
+        except Exception as e:  # no reference headers / compiler
+            _log(f"baseline build failed ({e}); using fallback")
+            return _FALLBACK_REF_QPS, False, {}
+    df, qf, gf = "/tmp/bench_data.f32", "/tmp/bench_q.f32", "/tmp/bench_gt.i32"
+    np.ascontiguousarray(data, dtype=np.float32).tofile(df)
+    np.ascontiguousarray(queries, dtype=np.float32).tofile(qf)
+    np.ascontiguousarray(gt, dtype=np.int32).tofile(gf)
+    nq = queries.shape[0]
+    _log(f"measuring reference baseline on identical data (nq={nq})")
+    try:
+        out = subprocess.run(
+            [binary, df, qf, gf, str(args.n), str(nq), str(args.dim),
+             str(args.target_recall), str(args.m),
+             str(args.ef_construction), str(args.k)],
+            check=True, capture_output=True, text=True, timeout=3600,
+        )
+        ref = json.loads(out.stdout.strip().splitlines()[-1])
+        ref["workload_key"] = key
+        with open(path, "w") as f:
+            json.dump(ref, f)
+        return float(ref["qps"]), True, ref
+    except Exception as e:
+        _log(f"baseline run failed ({e}); using fallback")
+        return _FALLBACK_REF_QPS, False, {}
 
 
 def main():
@@ -65,17 +134,25 @@ def main():
     ap.add_argument("--ef-construction", type=int, default=100)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-queries", type=int, default=8192)
-    ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--target-recall", type=float, default=0.85)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--target-recall", type=float, default=0.95)
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--data", default="clustered",
+                    choices=["clustered", "random"])
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "uint8", "bfloat16"])
     ap.add_argument("--expand-factor", type=int, default=64)
+    ap.add_argument("--no-baseline", action="store_true")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0x5EED)
-    if args.dtype == "uint8":
-        # BigANN-style uint8 workload (int distances)
+    np_dtype = {"float32": np.float32, "uint8": np.uint8,
+                "bfloat16": np.float32}[args.dtype]
+    if args.data == "clustered":
+        data, queries = clustered(
+            args.n, args.dim, args.num_queries, dtype=np_dtype
+        )
+    elif args.dtype == "uint8":
         data = rng.integers(0, 256, (args.n, args.dim)).astype(np.uint8)
         queries = rng.integers(
             0, 256, (args.num_queries, args.dim)
@@ -85,11 +162,9 @@ def main():
         queries = rng.standard_normal(
             (args.num_queries, args.dim), dtype=np.float32
         )
-        if args.dtype == "bfloat16":
-            data = jnp.asarray(data).astype(jnp.bfloat16)
 
-    _log(f"building {args.n}x{args.dim} {args.dtype} M={args.m} "
-         f"efc={args.ef_construction}")
+    _log(f"building {args.n}x{args.dim} {args.dtype} {args.data} "
+         f"M={args.m} efc={args.ef_construction}")
     t0 = time.time()
     g = make_empty_graph(
         args.n, args.dim, args.m,
@@ -104,6 +179,7 @@ def main():
         metric=MetricType.L2,
     )
     jax.block_until_ready(g.links)
+    int(g.num_nodes)  # host sync: block_until_ready lies on tunneled TPUs
     build_s = time.time() - t0
     _log(f"build done in {build_s:.1f}s; computing ground truth")
 
@@ -111,11 +187,12 @@ def main():
         jnp.asarray(data), jnp.asarray(queries), args.k, MetricType.L2
     )
     gt = np.asarray(gt_i)
+    gt_dn = np.asarray(gt_d)
 
-    q_dev = jnp.asarray(np.asarray(queries, dtype=np.float32))
+    q_dev = jnp.asarray(queries)
 
     def run(ef: int):
-        outs = []
+        outs, outs_d = [], []
         for lo in range(0, args.num_queries, args.batch):
             res = batched_search(
                 g.vectors,
@@ -129,20 +206,24 @@ def main():
                 expand_factor=args.expand_factor,
             )
             outs.append(res.labels)
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+            outs_d.append(res.dists)
+        return (
+            np.concatenate([np.asarray(o) for o in outs], axis=0),
+            np.concatenate([np.asarray(o) for o in outs_d], axis=0),
+        )
 
     # find the operating point
-    chosen_ef, recall = None, 0.0
-    for ef in (64, 128, 192, 256, 384, 448, 512):
+    chosen_ef, recall, recall_d = EF_SWEEP[-1], 0.0, 0.0
+    for ef in EF_SWEEP:
         t0 = time.time()
-        found = run(ef)
+        found, found_d = run(ef)
         recall = _recall(found, gt)
-        _log(f"ef={ef}: recall={recall:.4f} ({time.time()-t0:.1f}s incl compile)")
+        recall_d = _recall_dist(found_d, gt_dn)
+        _log(f"ef={ef}: recall={recall:.4f} (dist-based {recall_d:.4f}, "
+             f"{time.time()-t0:.1f}s incl compile)")
         if recall >= args.target_recall:
             chosen_ef = ef
             break
-    if chosen_ef is None:
-        chosen_ef = 512
 
     # steady-state timing (compile already done by the recall sweep).
     # NOTE: results are MATERIALIZED to the host each repeat —
@@ -166,21 +247,22 @@ def main():
         times.append(time.time() - t0)
     qps = args.num_queries / min(times)
 
-    ref_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "baseline_ref.json"
-    )
-    ref_qps, ref_measured = _FALLBACK_REF_QPS, False
-    if os.path.exists(ref_path):
-        with open(ref_path) as f:
-            ref = json.load(f)
-        if ref.get("qps"):
-            ref_qps, ref_measured = float(ref["qps"]), True
+    key = _workload_key(args, np.asarray(data, dtype=np.float32))
+    if args.no_baseline or args.dtype != "float32":
+        ref_qps, ref_measured, ref = _FALLBACK_REF_QPS, False, {}
+    else:
+        # baseline gets a query subset: single-core brute-force-checked
+        # searches over thousands of queries dominate its runtime
+        nq_ref = min(2000, args.num_queries)
+        ref_qps, ref_measured, ref = _reference_baseline(
+            args, data, queries[:nq_ref], gt[:nq_ref], key
+        )
 
     print(
         json.dumps(
             {
                 "metric": (
-                    f"qps@recall{args.target_recall}_random"
+                    f"qps@recall{args.target_recall}_{args.data}"
                     f"{args.n // 1000}k_d{args.dim}_k{args.k}"
                     + ("" if args.dtype == "float32" else f"_{args.dtype}")
                 ),
@@ -188,10 +270,13 @@ def main():
                 "unit": "qps",
                 "vs_baseline": round(qps / ref_qps, 2),
                 "recall": round(recall, 4),
+                "recall_dist_based": round(recall_d, 4),
                 "ef_search": chosen_ef,
                 "build_seconds": round(build_s, 1),
                 "baseline_qps": ref_qps,
                 "baseline_measured": ref_measured,
+                "baseline_ef_search": ref.get("ef_search"),
+                "baseline_recall": ref.get("recall"),
                 "device": str(jax.devices()[0]),
             }
         )

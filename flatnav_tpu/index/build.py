@@ -110,9 +110,10 @@ def select_neighbors(
 
     # The scan is inherently sequential (each decision depends on all prior
     # kept candidates, Index.h:732-756), but loop ITERATIONS carry runtime
-    # overhead — so process UNROLL candidates per fori step (an unrolled
-    # inner python loop preserves exact sequential semantics).
-    UNROLL = 8
+    # overhead (the tunnel taxes every device-loop step) — so process
+    # UNROLL candidates per fori step (an unrolled inner python loop
+    # preserves exact sequential semantics).
+    UNROLL = 16
     n_steps = -(-c // UNROLL)
 
     def one(g, kept_mask, count):
@@ -391,11 +392,17 @@ def back_edge_commit(
 # ---------------------------------------------------------------------------
 
 #: canonical back-edge batch shapes — jit compiles are expensive on TPU, so
-#: targets are processed in at most these (rows, requester-width) shapes
+#: targets are processed in at most these (rows, requester-width) shapes.
+#: An 8192-wave touches up to ~60k unique targets; a big T chunk keeps that
+#: to a handful of device dispatches (each dispatch pays the sequential
+#: prune loop + tunnel latency). Scratch at the caps:
+#: cand_vecs [T, M+R, d] = 16384*64*128*4 ≈ 0.5 GB at M=32, d=128.
 _BE_T_SMALL = 256
-_BE_T_CHUNK = 4096
+_BE_T_CHUNK = 16384
 _BE_R_SMALL = 8
-_BE_R_CAP = 64
+#: requesters kept per target per wave, CLOSEST first — a target retains at
+#: most M edges after re-pruning, so 32 (= typical M) loses nothing real
+_BE_R_CAP = 32
 
 
 def _commit_back_edges(commit_fn, links, tgt, src_rep, dist_rep=None):
@@ -462,7 +469,7 @@ def add_batch(
     stats: dict | None = None,
     mesh=None,
     table_spec: str = "replicated",
-    expand_factor: int = 16,
+    expand_factor: int = 32,
 ) -> GraphArrays:
     """Insert `data` ([n, d]) with `labels` ([n]) into the index.
 
@@ -556,9 +563,15 @@ def add_batch(
         committed = 1
         pos = 1
 
+    bucket_used = 0
     while pos < n:
         w = _wave_size(committed, n - pos, max_wave)
         bucket = max(_next_pow2(w), _MIN_WAVE)
+        # reuse the widest already-compiled wave shape for the tail wave:
+        # padded lanes are masked out by n_valid, and one avoided compile
+        # chain (~1 min on the remote TPU) beats the padded compute
+        bucket = max(bucket, bucket_used)
+        bucket_used = bucket
         wave_data = data[pos : pos + w]
         wave_labels = labels[pos : pos + w]
         if w < bucket:  # pad lanes with the first row; masked out by n_valid

@@ -104,6 +104,59 @@ VISITED_IMPL = "history"
 #:     max_hops it can win despite running the full cap.
 LOOP_IMPL = "while"
 
+#: membership/dedup lowering (results are BIT-IDENTICAL; only op counts
+#: differ — tests/test_search_extras.py asserts the equality):
+#:   "bsearch" — sorted structures + branchless binary search:
+#:     O(B*EM*log) gathers for beam/history membership and O(B*EM*logEM)
+#:     sorts for intra-hop dedup. At expand_factor >= 16 this replaces the
+#:     dominant hop cost (the naive broadcast compares are O(B*EM*ef),
+#:     O(B*EM*hist), and O(B*EM^2) respectively — tens of G-ops per hop
+#:     at E=64).
+#:   "compare" — naive broadcast-compare forms (reference-style clarity).
+MEMBERSHIP_IMPL = "bsearch"
+
+_INT_SENTINEL = jnp.int32(2**31 - 1)
+
+
+def _first_occurrence(ids: jax.Array) -> jax.Array:
+    """Mask of the first occurrence of each value per row ([B, C] -> bool).
+
+    Sort-based: duplicates become adjacent in id order; the mask is mapped
+    back through the inverse permutation. Any single survivor per id is
+    equivalent downstream (same id => same distance), so this is
+    result-identical to the O(C^2) pairwise form.
+    """
+    order = jnp.argsort(ids, axis=1, stable=True)
+    sorted_ids = jnp.take_along_axis(ids, order, axis=1)
+    first = jnp.concatenate(
+        [
+            jnp.ones(ids.shape[:1] + (1,), jnp.bool_),
+            sorted_ids[:, 1:] != sorted_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    inv = jnp.argsort(order, axis=1, stable=True)
+    return jnp.take_along_axis(first, inv, axis=1)
+
+
+def _sorted_member(sorted_tab: jax.Array, x: jax.Array) -> jax.Array:
+    """Row-wise membership of x [B, C] in sorted_tab [B, W] (ascending,
+    _INT_SENTINEL-padded), via branchless offset-doubling lower_bound:
+    log2(W) take_along_axis gathers instead of a [B, C, W] compare."""
+    w = sorted_tab.shape[1]
+    pos = jnp.zeros(x.shape, jnp.int32)
+    s = 1 << max(0, (w - 1)).bit_length()
+    while s:
+        nxt = pos + s
+        idx = jnp.minimum(nxt, w) - 1
+        v = jnp.take_along_axis(sorted_tab, idx, axis=1)
+        pos = jnp.where(jnp.logical_and(nxt <= w, v < x), nxt, pos)
+        s >>= 1
+    v = jnp.take_along_axis(
+        sorted_tab, jnp.minimum(pos, w - 1), axis=1
+    )
+    return jnp.logical_and(pos < w, v == x)
+
 
 def _merge_sorted(beam, new, ef: int):
     """Merge the sorted beam [B, ef] with sorted new entries [B, M] into a
@@ -211,6 +264,7 @@ def beam_search_core(
     e_f = max(min(expand_factor, ef), 1)
     em = e_f * m
     use_history = VISITED_IMPL == "history"
+    use_bsearch = MEMBERSHIP_IMPL == "bsearch"
     # the history buffer bounds the hop loop; generous default tail
     # (typical EXPANSIONS per query ~ ef + small overshoot; each iteration
     # performs e_f expansions, so the iteration cap scales down with E and
@@ -232,7 +286,12 @@ def beam_search_core(
     beam_i = jnp.zeros((b, ef), jnp.int32).at[:, 0].set(entry_ids)
     beam_e = jnp.ones((b, ef), jnp.bool_).at[:, 0].set(False)
 
-    if use_history:
+    if use_history and use_bsearch:
+        # expanded-id history [B, hop_cap * E], SORTED ascending with
+        # sentinel padding; per hop the E new ids merge in via one sort
+        # and membership probes are log-width binary searches
+        visited = jnp.full((b, hop_cap * e_f), _INT_SENTINEL, jnp.int32)
+    elif use_history:
         # expanded-id history [B, hop_cap * E], -1 padded, appended by
         # contiguous dynamic_update_slice each hop (never a scatter)
         visited = jnp.full((b, hop_cap * e_f), -1, jnp.int32)
@@ -248,8 +307,10 @@ def beam_search_core(
     dcomp0 = jnp.asarray(b * (num_initializations + 1), jnp.int32)
 
     # First-occurrence mask scaffolding for intra-hop dedup (width = E*M
-    # when expanding E beam entries per hop).
-    lower_tri = jnp.tril(jnp.ones((em, em), jnp.bool_), k=-1)
+    # when expanding E beam entries per hop) — compare impl only; the
+    # bsearch impl dedups via sort (O(EM logEM) instead of O(EM^2)).
+    if not use_bsearch:
+        lower_tri = jnp.tril(jnp.ones((em, em), jnp.bool_), k=-1)
 
     def cond(state):
         _, _, beam_e, _, _, _, it = state
@@ -283,16 +344,30 @@ def beam_search_core(
         nbrs = links_block(cur_ids)  # [B, E*M]
         valid_src = jnp.repeat(sel_valid, m, axis=1)  # [B, E*M]
 
-        if use_history:
+        if use_history and use_bsearch:
+            # merge this hop's expansions into the sorted history (one
+            # sort), then probe membership with binary searches.
+            # Candidate is fresh iff not in the (finite) beam and never
+            # expanded; evicted-unexpanded nodes may re-enter (re-eval is
+            # ~free; correctness unaffected — see VISITED_IMPL docs)
+            new_ids = jnp.where(sel_valid, cur_ids, _INT_SENTINEL)
+            visited = jax.lax.sort(
+                jnp.concatenate([visited, new_ids], axis=1), dimension=1
+            )[:, : hop_cap * e_f]
+            sorted_beam = jax.lax.sort(
+                jnp.where(jnp.isfinite(beam_d), beam_i, _INT_SENTINEL),
+                dimension=1,
+            )
+            in_beam = _sorted_member(sorted_beam, nbrs)
+            in_hist = _sorted_member(visited, nbrs)
+            fresh = ~jnp.logical_or(in_beam, in_hist)
+        elif use_history:
             # record this hop's expansions (contiguous write)
             visited = jax.lax.dynamic_update_slice(
                 visited,
                 jnp.where(sel_valid, cur_ids, -1),
                 (0, it * e_f),
             )
-            # candidate is fresh iff not in the (finite) beam and never
-            # expanded; evicted-unexpanded nodes may re-enter (re-eval is
-            # ~free; correctness unaffected — see VISITED_IMPL docs)
             in_beam = jnp.any(
                 jnp.logical_and(
                     nbrs[:, :, None] == beam_i[:, None, :],
@@ -311,8 +386,11 @@ def beam_search_core(
             fresh = (vis_words & bits) == 0
         fresh = jnp.logical_and(fresh, valid_src)
         # keep only the first occurrence of each id within the hop
-        dup = nbrs[:, :, None] == nbrs[:, None, :]
-        first_occ = ~jnp.any(dup & lower_tri[None], axis=2)
+        if use_bsearch:
+            first_occ = _first_occurrence(nbrs)
+        else:
+            dup = nbrs[:, :, None] == nbrs[:, None, :]
+            first_occ = ~jnp.any(dup & lower_tri[None], axis=2)
         fresh = jnp.logical_and(fresh, first_occ)
 
         if not use_history:
@@ -326,10 +404,17 @@ def beam_search_core(
         dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
         hops = hops + jnp.sum(sel_valid, dtype=jnp.int32)
 
-        # sort only the E*M new entries, then merge into the beam
+        # sort only the E*M new entries, then merge into the beam; new
+        # entries ranked past ef can never enter an ef-wide beam, so the
+        # merge sees at most ef of them (identical results, ~EM/ef less
+        # merge work when E*M > ef)
         sd_new, si_new, se_new = jax.lax.sort(
             (nd, nbrs, ~fresh), dimension=1, num_keys=1, is_stable=True
         )
+        if em > ef:
+            sd_new = sd_new[:, :ef]
+            si_new = si_new[:, :ef]
+            se_new = se_new[:, :ef]
         nbd, nbi, nbe = _merge_sorted(
             (beam_d, beam_i, beam_e), (sd_new, si_new, se_new), ef
         )

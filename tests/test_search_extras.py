@@ -106,6 +106,72 @@ def test_merge_matches_full_sort(rng, impl):
     np.testing.assert_array_equal(np.asarray(got[2]), want_e)
 
 
+@pytest.mark.parametrize("expand_factor", [1, 4])
+def test_membership_impls_bit_identical(rng, expand_factor):
+    """The bsearch membership/dedup lowering (sorted history + binary
+    search + sort-based first-occurrence + merge slice) must be
+    BIT-IDENTICAL to the naive broadcast-compare forms — membership is
+    exact integer logic, only op counts differ."""
+    import jax
+
+    import flatnav_tpu.index.search as S
+    from flatnav_tpu.index import graph_from_numpy
+    from tests.test_search import build_knn_graph
+
+    n, d, m = 1500, 16, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = jnp.asarray(rng.standard_normal((24, d), dtype=np.float32))
+    g = graph_from_numpy(data, build_knn_graph(data, m, MetricType.L2))
+    outs = {}
+    for impl in ("compare", "bsearch"):
+        S.MEMBERSHIP_IMPL = impl
+        try:
+            fn = jax.jit(
+                S.batched_search.__wrapped__,
+                static_argnames=(
+                    "k", "ef", "metric", "num_initializations", "max_hops",
+                    "expand_factor",
+                ),
+            )
+            r = fn(
+                g.vectors, g.links, g.labels, g.num_nodes, q,
+                k=5, ef=32, expand_factor=expand_factor,
+            )
+            outs[impl] = (
+                np.asarray(r.dists), np.asarray(r.labels),
+                int(r.hops), int(r.dist_computations),
+            )
+        finally:
+            S.MEMBERSHIP_IMPL = "bsearch"
+    for a, b in zip(outs["compare"], outs["bsearch"]):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sorted_member_oracle(rng):
+    from flatnav_tpu.index.search import _INT_SENTINEL, _sorted_member
+
+    tab = np.sort(rng.choice(5000, (16, 37), replace=True), axis=1)
+    tab[:, 30:] = int(_INT_SENTINEL)  # sentinel tail
+    x = rng.integers(0, 5000, (16, 64)).astype(np.int32)
+    got = np.asarray(_sorted_member(jnp.asarray(tab), jnp.asarray(x)))
+    want = np.array(
+        [[xi in set(trow[:30].tolist()) for xi in xrow]
+         for trow, xrow in zip(tab, x)]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_first_occurrence_oracle(rng):
+    from flatnav_tpu.index.search import _first_occurrence
+
+    ids = rng.integers(0, 20, (8, 50)).astype(np.int32)
+    got = np.asarray(_first_occurrence(jnp.asarray(ids)))
+    # exactly one survivor per distinct id per row
+    for row_ids, row_mask in zip(ids, got):
+        for v in np.unique(row_ids):
+            assert row_mask[row_ids == v].sum() == 1
+
+
 @pytest.mark.parametrize("loop_impl", ["scan"])
 def test_loop_impl_matches_while(rng, loop_impl):
     """scan mode (static trip count, done-query no-ops) must be

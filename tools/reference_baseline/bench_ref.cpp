@@ -1,12 +1,22 @@
 // Reference-engine baseline: builds the UNMODIFIED flatnav headers from
-// /root/reference and measures single-core QPS at recall@10 >= 0.95 on the
-// same random-100K workload as bench.py. Output: one JSON line compatible
-// with baseline_ref.json.
+// /root/reference and measures single-core QPS at a target recall@K on a
+// caller-provided workload. Output: one JSON line compatible with
+// baseline_ref.json.
+//
+// This is a baseline-MEASUREMENT harness (it measures the thing bench.py
+// compares against); it intentionally #includes the reference headers and
+// is not part of the flatnav_tpu package.
+//
+// Usage:
+//   bench_ref data.f32 queries.f32 gt.i32 N NQ DIM TARGET [M] [EFC] [K]
+// where data.f32/queries.f32 are raw little-endian float32 row-major
+// [N,DIM]/[NQ,DIM] and gt.i32 is raw int32 [NQ,K] exact neighbors — the
+// SAME arrays bench.py builds/queries with, so the comparison is
+// apples-to-apples on identical data.
 //
 // Build: see build_baseline.sh. The reference's own benchmark protocol
 // (experiments/Makefile) uses 1 search thread; this machine has 1 core, so
-// the build is also single-threaded (build time reported for context, not
-// comparison).
+// the build is also single-threaded (build time reported for context).
 
 #include <flatnav/index/Index.h>
 #include <flatnav/distances/SquaredL2Distance.h>
@@ -14,69 +24,80 @@
 #include <algorithm>
 #include <chrono>
 #include <cstdio>
-#include <random>
+#include <cstdlib>
 #include <set>
 #include <vector>
 
 using flatnav::Index;
 using flatnav::distances::SquaredL2Distance;
 
+static std::vector<char> read_file(const char* path, size_t expect) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(2); }
+  std::vector<char> buf(expect);
+  size_t got = fread(buf.data(), 1, expect, f);
+  fclose(f);
+  if (got != expect) {
+    fprintf(stderr, "%s: expected %zu bytes, got %zu\n", path, expect, got);
+    exit(2);
+  }
+  return buf;
+}
+
 int main(int argc, char** argv) {
-  const int N = argc > 1 ? atoi(argv[1]) : 100000;
-  const int DIM = argc > 3 ? atoi(argv[3]) : 128;
-  const int M = argc > 4 ? atoi(argv[4]) : 32;
-  const int EFC = argc > 5 ? atoi(argv[5]) : 100;
-  const int K = 10, NQ = 2000;
-  const double TARGET = argc > 2 ? atof(argv[2]) : 0.85;
+  if (argc < 8) {
+    fprintf(stderr,
+            "usage: %s data.f32 queries.f32 gt.i32 N NQ DIM TARGET "
+            "[M=32] [EFC=100] [K=10]\n",
+            argv[0]);
+    return 2;
+  }
+  const int N = atoi(argv[4]);
+  const int NQ = atoi(argv[5]);
+  const int DIM = atoi(argv[6]);
+  const double TARGET = atof(argv[7]);
+  const int M = argc > 8 ? atoi(argv[8]) : 32;
+  const int EFC = argc > 9 ? atoi(argv[9]) : 100;
+  const int K = argc > 10 ? atoi(argv[10]) : 10;
 
-  std::mt19937 gen(0x5EED);
-  std::normal_distribution<float> dist(0.f, 1.f);
-  std::vector<float> data((size_t)N * DIM), queries((size_t)NQ * DIM);
-  for (auto& x : data) x = dist(gen);
-  for (auto& x : queries) x = dist(gen);
+  auto data_buf = read_file(argv[1], (size_t)N * DIM * 4);
+  auto query_buf = read_file(argv[2], (size_t)NQ * DIM * 4);
+  auto gt_buf = read_file(argv[3], (size_t)NQ * K * 4);
+  const float* data = reinterpret_cast<const float*>(data_buf.data());
+  const float* queries = reinterpret_cast<const float*>(query_buf.data());
+  const int* gt = reinterpret_cast<const int*>(gt_buf.data());
 
-  auto distance = SquaredL2Distance<flatnav::util::DataType::float32>::create(DIM);
-  auto index = new Index<SquaredL2Distance<flatnav::util::DataType::float32>, int>(
-      std::move(distance), N, M);
+  auto distance =
+      SquaredL2Distance<flatnav::util::DataType::float32>::create(DIM);
+  auto index =
+      new Index<SquaredL2Distance<flatnav::util::DataType::float32>, int>(
+          std::move(distance), N, M);
   index->setNumThreads(1);
 
   std::vector<int> labels(N);
   for (int i = 0; i < N; i++) labels[i] = i;
   auto t0 = std::chrono::steady_clock::now();
-  index->template addBatch<float>(data.data(), labels, EFC);
+  index->template addBatch<float>(const_cast<float*>(data), labels, EFC);
   double build_s =
-      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0).count();
+      std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+          .count();
+  fprintf(stderr, "build done in %.1fs\n", build_s);
 
-  // exact ground truth (brute force, single core)
-  std::vector<std::vector<int>> gt(NQ);
-  for (int q = 0; q < NQ; q++) {
-    std::vector<std::pair<float, int>> all(N);
-    const float* qv = &queries[(size_t)q * DIM];
-    for (int i = 0; i < N; i++) {
-      const float* v = &data[(size_t)i * DIM];
-      float d = 0;
-      for (int j = 0; j < DIM; j++) {
-        float t = qv[j] - v[j];
-        d += t * t;
-      }
-      all[i] = {d, i};
-    }
-    std::partial_sort(all.begin(), all.begin() + K, all.end());
-    for (int j = 0; j < K; j++) gt[q].push_back(all[j].second);
-  }
-
-  int chosen_ef = 512;
+  int chosen_ef = 3072;
   double recall = 0, qps = 0;
-  for (int ef : {32, 48, 64, 96, 128, 192, 256, 384, 512}) {
+  for (int ef : {32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536,
+                 2048, 3072}) {
     size_t hits = 0;
     auto ts = std::chrono::steady_clock::now();
     for (int q = 0; q < NQ; q++) {
       auto res = index->search(&queries[(size_t)q * DIM], K, ef);
       std::set<int> found;
       for (auto& [d, l] : res) found.insert(l);
-      for (int g_ : gt[q]) hits += found.count(g_);
+      for (int j = 0; j < K; j++) hits += found.count(gt[(size_t)q * K + j]);
     }
-    double el = std::chrono::duration<double>(std::chrono::steady_clock::now() - ts).count();
+    double el =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - ts)
+            .count();
     recall = (double)hits / ((double)NQ * K);
     qps = NQ / el;
     fprintf(stderr, "ef=%d recall=%.4f qps=%.0f\n", ef, recall, qps);
@@ -90,9 +111,12 @@ int main(int argc, char** argv) {
   for (int rep = 0; rep < 3; rep++) {
     auto ts = std::chrono::steady_clock::now();
     for (int q = 0; q < NQ; q++) {
-      volatile auto res = index->search(&queries[(size_t)q * DIM], K, chosen_ef);
+      volatile auto res =
+          index->search(&queries[(size_t)q * DIM], K, chosen_ef);
     }
-    double el = std::chrono::duration<double>(std::chrono::steady_clock::now() - ts).count();
+    double el =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - ts)
+            .count();
     best = std::min(best, el);
   }
   qps = NQ / best;
