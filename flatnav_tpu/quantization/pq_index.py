@@ -241,9 +241,12 @@ class PQIndex:
             self._num_nodes = jnp.asarray(1, jnp.int32)
             committed, pos = 1, 1
 
+        bucket_used = 0
         while pos < n:
             w = int(min(max_wave, n - pos))
-            bucket = max(1 << max(0, (w - 1)).bit_length(), 64)
+            # reuse the widest compiled wave shape (see build.add_batch)
+            bucket = max(1 << max(0, (w - 1)).bit_length(), 64, bucket_used)
+            bucket_used = bucket
             wave_raw = data[pos : pos + w]
             wave_labels = labels[pos : pos + w]
             if w < bucket:
