@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""1M-scale benchmark: clustered 1M x 128 fp32 L2 (the SIFT1M-class
+workload; real SIFT1M is unreachable here — no network egress — see
+flatnav_tpu/bench/synth.py). Builds on the TPU, sweeps ef to the 0.95
+recall@10 target, times the operating point, optionally measures the
+reference C++ single-core engine on the SAME data, and writes
+benchmarks/results_clustered_1m.json.
+
+Usage: PYTHONPATH=/root/repo python benchmarks/run_clustered_1m.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax.numpy as jnp  # noqa: E402
+
+from flatnav_tpu.bench.synth import clustered  # noqa: E402
+from flatnav_tpu.index import batched_search  # noqa: E402
+from flatnav_tpu.index.build import add_batch  # noqa: E402
+from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
+from flatnav_tpu.ops import MetricType, brute_force_knn  # noqa: E402
+
+N, D, M, NQ, K, EFC = 1_000_000, 128, 32, 8192, 10, 100
+TARGET = 0.95
+BATCH = 2048
+
+
+def log(m):
+    print(f"[1m] {m}", file=sys.stderr, flush=True)
+
+
+def main():
+    run_baseline = "--no-baseline" not in sys.argv
+    data, queries = clustered(N, D, NQ)
+    t0 = time.time()
+    g = add_batch(
+        make_empty_graph(N, D, M), data, np.arange(N),
+        ef_construction=EFC, metric=MetricType.L2,
+    )
+    assert int(g.num_nodes) == N  # host sync before reading the clock
+    build_s = time.time() - t0
+    log(f"build {build_s:.1f}s")
+
+    gt = np.asarray(
+        brute_force_knn(jnp.asarray(data), jnp.asarray(queries), K)[1]
+    )
+    q_dev = jnp.asarray(queries)
+
+    def run(ef, expand):
+        outs = []
+        for lo in range(0, NQ, BATCH):
+            r = batched_search(
+                g.vectors, g.links, g.labels, g.num_nodes,
+                q_dev[lo : lo + BATCH], k=K, ef=ef,
+                metric=MetricType.L2, expand_factor=expand,
+            )
+            outs.append(np.asarray(r.labels))
+        return np.concatenate(outs, 0)
+
+    def recall(found):
+        return float(np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / K
+             for a, b in zip(found, gt)]
+        ))
+
+    rows = []
+    chosen = None
+    for expand in (64, 16):
+        for ef in (100, 128, 192, 256, 384, 512, 768):
+            t0 = time.time()
+            r = recall(run(ef, expand))
+            log(f"E={expand} ef={ef}: recall={r:.4f} "
+                f"({time.time()-t0:.1f}s incl compile)")
+            rows.append({"ef": ef, "expand": expand, "recall": r})
+            if r >= TARGET:
+                # steady-state timing
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    run(ef, expand)
+                    times.append(time.time() - t0)
+                qps = NQ / min(times)
+                rows[-1]["qps"] = qps
+                log(f"E={expand} ef={ef}: {qps:.0f} qps")
+                if chosen is None or qps > chosen["qps"]:
+                    chosen = dict(rows[-1])
+                break
+
+    ref = None
+    if run_baseline:
+        binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
+        if os.path.exists(binary):
+            df, qf, gf = "/tmp/1m_data.f32", "/tmp/1m_q.f32", "/tmp/1m_gt.i32"
+            nq_ref = 2000
+            data.astype(np.float32).tofile(df)
+            queries[:nq_ref].astype(np.float32).tofile(qf)
+            gt[:nq_ref].astype(np.int32).tofile(gf)
+            log("running reference baseline on identical data")
+            out = subprocess.run(
+                [binary, df, qf, gf, str(N), str(nq_ref), str(D),
+                 str(TARGET), str(M), str(EFC), str(K)],
+                capture_output=True, text=True, timeout=7200,
+            )
+            if out.returncode == 0:
+                ref = json.loads(out.stdout.strip().splitlines()[-1])
+            else:
+                log(f"baseline failed: {out.stderr[-300:]}")
+
+    result = {
+        "workload": f"clustered {N}x{D} fp32 L2 M={M} efc={EFC} k={K}",
+        "note": "SIFT1M-class stand-in; no network egress for real "
+                "ann-benchmarks data (see flatnav_tpu/bench/synth.py)",
+        "build_seconds": round(build_s, 1),
+        "operating_point": chosen,
+        "sweep": rows,
+        "reference_single_core": ref,
+    }
+    path = os.path.join(_REPO, "benchmarks/results_clustered_1m.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
