@@ -140,12 +140,15 @@ def _time_only(args):
     times = []
     for rep in range(args.repeats + 1):  # +1 warmup (cached compile load)
         t0 = time.time()
-        for lo in range(0, nq, args.batch):
-            res = batched_search(
+        pend = [
+            batched_search(
                 g.vectors, g.links, g.labels, g.num_nodes,
                 q_dev[lo : lo + args.batch], k=args.k, ef=args.ef_search,
                 metric=metric, expand_factor=args.expand_factor,
             )
+            for lo in range(0, nq, args.batch)
+        ]  # async dispatch pipelines chunks through the device
+        for res in pend:
             np.asarray(res.labels)
         if rep:
             times.append(time.time() - t0)
@@ -284,12 +287,15 @@ def main():
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            for lo in range(0, args.num_queries, args.batch):
-                res = batched_search(
+            pend = [
+                batched_search(
                     g.vectors, g.links, g.labels, g.num_nodes,
                     q_dev[lo : lo + args.batch], k=args.k, ef=ef,
                     metric=MetricType.L2, expand_factor=expand,
                 )
+                for lo in range(0, args.num_queries, args.batch)
+            ]  # async dispatch pipelines chunks through the device
+            for res in pend:
                 np.asarray(res.labels)
             times.append(time.time() - t0)
         qps_c = args.num_queries / min(times)

@@ -223,6 +223,9 @@ class Index:
         out_l = np.empty((b, K), np.int32)
         bs = self._query_batch_size
         g = self._graph
+        pending = []  # dispatch ALL batches before materializing any:
+        # device dispatch is async, so chunks pipeline through the device
+        # instead of serializing on per-chunk host transfers
         for lo in range(0, b, bs):
             hi = min(lo + bs, b)
             chunk = queries[lo:hi]
@@ -252,6 +255,8 @@ class Index:
                 num_initializations=num_initializations,
                 expand_factor=self._expand_factor,
             )
+            pending.append((lo, hi, res))
+        for lo, hi, res in pending:
             out_d[lo:hi] = np.asarray(res.dists)[: hi - lo]
             out_l[lo:hi] = np.asarray(res.labels)[: hi - lo]
             if self._collect_stats:
