@@ -53,6 +53,7 @@ import jax.numpy as jnp
 
 from flatnav_tpu.ops.distances import (
     MetricType,
+    pairwise_distances,
     query_block_distances,
 )
 
@@ -102,6 +103,12 @@ VISITED_IMPL = "history"
 #:     some runtimes scan's static trip count executes several times
 #:     cheaper per iteration than while_loop; combined with a tight
 #:     max_hops it can win despite running the full cap.
+#:   "unroll" — the scan semantics with the loop construct removed: the
+#:     hop body is inlined hop_cap times into one straight-line XLA
+#:     program. No loop construct means no per-iteration executor
+#:     overhead (on runtimes that step loop iterations through the host
+#:     this is the difference between 1 and hop_cap dispatches) and XLA
+#:     may fuse across hop boundaries. Costs compile time ~ hop_cap.
 LOOP_IMPL = "while"
 
 #: membership/dedup lowering (results are BIT-IDENTICAL; only op counts
@@ -114,6 +121,31 @@ LOOP_IMPL = "while"
 #:     at E=64).
 #:   "compare" — naive broadcast-compare forms (reference-style clarity).
 MEMBERSHIP_IMPL = "bsearch"
+
+#: entry-scan ("initializeSearch", Index.h:845-870) lowering:
+#:   "direct" — score_block over per-query broadcast candidate ids: the
+#:     generic path every distance backend supports (PQ-ADC, sharded).
+#:     For the raw-vector backend it gathers [B, NI, d].
+#:   "matmul" — raw-vector backend only: gather the NI strided rows ONCE
+#:     ([NI, d]) and compute all B x NI entry distances as one MXU
+#:     contraction (pairwise_distances). O(B*NI) gather bytes drop to
+#:     O(NI); the scan cost becomes nearly free, making num_initializations
+#:     a cheap recall knob (a 4096-wide entry scan seeds the beam close to
+#:     the target and cuts hop count). fp rounding differs from "direct"
+#:     (matmul vs diff-square accumulation), so results are not bit-equal
+#:     across the two lowerings — recall is equivalent.
+ENTRY_IMPL = "matmul"
+
+#: hop scoring lowering for the raw-vector backend:
+#:   "take"   — jnp.take gather + query_block_distances: XLA materializes
+#:     the gathered [B, E*M, d] block through HBM (written by the gather,
+#:     read back by the distance), paying the gather bytes twice.
+#:   "pallas" — the fused gather+distance kernel
+#:     (ops/gather_distance.py): candidate rows stream HBM -> VMEM via
+#:     double-buffered row DMAs and reduce to distances on-chip — half the
+#:     HBM traffic, O(tile) scratch. float tables only (int tables keep
+#:     the exact int32 path); falls back to "take" off-TPU.
+SCORE_IMPL = "take"
 
 _INT_SENTINEL = jnp.int32(2**31 - 1)
 
@@ -238,6 +270,7 @@ def beam_search_core(
     max_hops: int = 0,
     expand_factor: int = 1,
     links_block=None,
+    entry_block=None,
 ) -> BeamResults:
     """Distance-backend-agnostic beam search loop (trace-time helper; call
     from inside a jitted wrapper).
@@ -252,6 +285,10 @@ def beam_search_core(
     an ownership-masked gather + psum. Everything else — the hop loop,
     visited state, beam merge — is backend-independent, so single-chip and
     tensor-parallel searches share ONE hop body (and stay bit-identical).
+
+    `entry_block(cand [NI] int32) -> [B, NI] f32` scores the shared entry
+    candidates (see ENTRY_IMPL); defaults to score_block over per-query
+    broadcast ids.
     """
     m = links.shape[1]
     b = batch
@@ -276,7 +313,12 @@ def beam_search_core(
     cand = jnp.arange(num_initializations, dtype=jnp.int32) * step
     cand_valid = cand < num_nodes
     cand = jnp.where(cand_valid, cand, 0)
-    d0 = score_block(jnp.broadcast_to(cand[None, :], (b, num_initializations)))
+    if entry_block is not None:
+        d0 = entry_block(cand)
+    else:
+        d0 = score_block(
+            jnp.broadcast_to(cand[None, :], (b, num_initializations))
+        )
     d0 = jnp.where(cand_valid[None, :], d0, jnp.inf)
     best = jnp.argmin(d0, axis=1)
     entry_ids = cand[best]
@@ -435,6 +477,12 @@ def beam_search_core(
 
         state, _ = jax.lax.scan(scan_body, state, None, length=hop_cap)
         beam_d, beam_i, _, _, dcomp, hops, _ = state
+    elif LOOP_IMPL == "unroll":
+        # bit-identical to scan: the body is idempotent once a query's
+        # beam is fully expanded, so running the full cap is safe
+        for _ in range(hop_cap):
+            state = body(state)
+        beam_d, beam_i, _, _, dcomp, hops, _ = state
     else:
         beam_d, beam_i, _, _, dcomp, hops, _ = jax.lax.while_loop(
             cond, body, state
@@ -477,9 +525,29 @@ def beam_search(
     ):
         queries = queries.astype(jnp.float32)
 
-    def score_block(ids: jax.Array) -> jax.Array:
-        rows = jnp.take(vectors, ids, axis=0)  # [B, C, d] gather (hot)
-        return query_block_distances(queries, rows, metric)
+    if SCORE_IMPL == "pallas" and not jnp.issubdtype(
+        vectors.dtype, jnp.integer
+    ):
+        from flatnav_tpu.ops.gather_distance import gather_distances
+
+        interpret = jax.default_backend() != "tpu"
+
+        def score_block(ids: jax.Array) -> jax.Array:
+            return gather_distances(
+                vectors, ids, queries, metric, interpret=interpret
+            )
+    else:
+        def score_block(ids: jax.Array) -> jax.Array:
+            rows = jnp.take(vectors, ids, axis=0)  # [B, C, d] gather (hot)
+            return query_block_distances(queries, rows, metric)
+
+    entry_block = None
+    if ENTRY_IMPL == "matmul":
+        def entry_block(cand: jax.Array) -> jax.Array:
+            # ONE [NI, d] gather + one MXU contraction for all B x NI
+            # entry distances (vs B copies of the candidate rows)
+            rows = jnp.take(vectors, cand, axis=0)
+            return pairwise_distances(queries, rows, metric)
 
     return beam_search_core(
         links,
@@ -491,6 +559,7 @@ def beam_search(
         num_initializations=num_initializations,
         max_hops=max_hops,
         expand_factor=expand_factor,
+        entry_block=entry_block,
     )
 
 

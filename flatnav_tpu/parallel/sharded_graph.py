@@ -35,11 +35,16 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+import flatnav_tpu.index.search as _search
 from flatnav_tpu.index.search import (
     SearchResults,
     beam_search_core,
 )
-from flatnav_tpu.ops.distances import MetricType, query_block_distances
+from flatnav_tpu.ops.distances import (
+    MetricType,
+    pairwise_distances,
+    query_block_distances,
+)
 from flatnav_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
 
@@ -88,6 +93,22 @@ def _sharded_beam_search_local(
         merged = jax.lax.psum(contrib, MODEL_AXIS) - 1
         return merged.reshape(b, ids.shape[1] * m)
 
+    entry_block = None
+    if _search.ENTRY_IMPL == "matmul":
+        # mirror the single-chip matmul entry scan (search.ENTRY_IMPL):
+        # each shard runs the same [B, NI] contraction over its owned rows
+        # (junk rows for non-owned ids, masked out), psum merges the
+        # one-owner contributions — elementwise the same math as the
+        # single-chip lowering
+        def entry_block(cand):
+            local = cand - row_offset
+            own = jnp.logical_and(local >= 0, local < n_local)
+            rows = jnp.take(vectors, jnp.where(own, local, 0), axis=0)
+            pd = pairwise_distances(queries, rows, metric)
+            return jax.lax.psum(
+                jnp.where(own[None, :], pd, 0.0), MODEL_AXIS
+            )
+
     return beam_search_core(
         links,
         num_nodes,
@@ -99,6 +120,7 @@ def _sharded_beam_search_local(
         max_hops=max_hops,
         expand_factor=expand_factor,
         links_block=links_block,
+        entry_block=entry_block,
     )
 
 

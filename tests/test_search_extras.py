@@ -172,7 +172,7 @@ def test_first_occurrence_oracle(rng):
             assert row_mask[row_ids == v].sum() == 1
 
 
-@pytest.mark.parametrize("loop_impl", ["scan"])
+@pytest.mark.parametrize("loop_impl", ["scan", "unroll"])
 def test_loop_impl_matches_while(rng, loop_impl):
     """scan mode (static trip count, done-query no-ops) must be
     bit-identical to the while loop."""
