@@ -34,7 +34,7 @@ from flatnav_tpu.index.graph import (
     node_size_bytes,
 )
 from flatnav_tpu.index.search import batched_search
-from flatnav_tpu.ops.distances import MetricType
+from flatnav_tpu.ops.distances import MetricType, brute_force_knn
 
 _DISTANCE_TYPES = {"l2": MetricType.L2, "angular": MetricType.IP, "ip": MetricType.IP}
 
@@ -276,6 +276,60 @@ class Index:
             np.asarray(query)[None, :], K, ef_search, num_initializations
         )
         return d[0], l[0]
+
+    def search_exact(
+        self, queries: np.ndarray, K: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """EXACT batched kNN over the committed rows (recall 1.0) via the
+        tiled MXU scan (ops.brute_force_knn).
+
+        TPU-native extension with no reference analog: on the MXU the
+        full-table scan is the reference's initializeSearch strided scan
+        (Index.h:845-870) generalized to every row, and at HBM-resident
+        scale (N up to a few million) it is FASTER than graph traversal —
+        per-hop row gathers are issue-rate-bound on TPU while dense
+        contractions run at MXU speed (cf. TPU-KNN, arXiv:2206.14286).
+        Distance conventions match `search` (squared L2 / 1 - <q, x>).
+        Returns (dists [B, K] float32, labels [B, K] int32).
+        """
+        queries = np.asarray(queries)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"Queries have incorrect dimensions {queries.shape}; "
+                f"expected [B, {self.dim}]"
+            )
+        b = queries.shape[0]
+        out_d = np.empty((b, K), np.float32)
+        out_l = np.empty((b, K), np.int32)
+        bs = self._query_batch_size
+        g = self._graph
+        if np.issubdtype(self._data_type.numpy_dtype, np.integer):
+            qdtype = self._data_type.numpy_dtype
+        else:
+            qdtype = np.float32
+        pending = []
+        for lo in range(0, b, bs):
+            hi = min(lo + bs, b)
+            chunk = queries[lo:hi]
+            if hi - lo < bs and b > bs:
+                pad = bs - (hi - lo)
+                chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
+            dists, ids = brute_force_knn(
+                g.vectors,
+                jnp.asarray(chunk.astype(qdtype, copy=False)),
+                K,
+                self._metric,
+                n_valid=g.num_nodes,
+            )
+            pending.append((lo, hi, dists, jnp.take(g.labels, ids, axis=0)))
+        for lo, hi, dists, labels in pending:
+            out_d[lo:hi] = np.asarray(dists)[: hi - lo]
+            out_l[lo:hi] = np.asarray(labels)[: hi - lo]
+        if self._collect_stats:
+            self._distance_computations += b * int(self.num_nodes)
+        return out_d, out_l
 
     def get_query_distance_computations(self) -> int:
         """Read-and-reset distance-computation counter

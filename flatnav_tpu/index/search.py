@@ -269,6 +269,7 @@ def beam_search_core(
     num_initializations: int = 100,
     max_hops: int = 0,
     expand_factor: int = 1,
+    compact_width: int = 0,
     links_block=None,
     entry_block=None,
 ) -> BeamResults:
@@ -289,6 +290,16 @@ def beam_search_core(
     `entry_block(cand [NI] int32) -> [B, NI] f32` scores the shared entry
     candidates (see ENTRY_IMPL); defaults to score_block over per-query
     broadcast ids.
+
+    `compact_width` (CC, 0 = off): gather/score only the first CC
+    fresh-first candidates per hop instead of all E*M. The hot gather is
+    row-ISSUE-RATE-bound on TPU (~4 GB/s at 512 B rows, measured), so
+    row count is the cost — compaction multiplies hop throughput by
+    ~E*M/CC. Fresh candidates beyond CC in a hop are DROPPED (they were
+    already the overflow past the ids the beam could admit); duplicates
+    and visited ids are dropped first, so recall impact is small for
+    CC >= ef and the setting is swept by the benchmark like ef. Results
+    are deterministic but not bit-identical to the uncompacted hop.
     """
     m = links.shape[1]
     b = batch
@@ -440,7 +451,19 @@ def beam_search_core(
                 jnp.where(fresh, bits, jnp.uint32(0))
             )
 
-        nd = score_block(nbrs)  # [B, E*M] (hot: fused gather + distance)
+        # fresh-first compaction (history impl only — the bitmask impl
+        # marks candidates visited above, which must stay in sync with
+        # what gets scored): keep the first CC candidates with fresh ones
+        # sorted to the front, so the hot gather below touches CC rows
+        # instead of E*M
+        if compact_width and use_history and compact_width < em:
+            order = jnp.argsort(
+                (~fresh).astype(jnp.int32), axis=1, stable=True
+            )[:, :compact_width]
+            nbrs = jnp.take_along_axis(nbrs, order, axis=1)
+            fresh = jnp.take_along_axis(fresh, order, axis=1)
+
+        nd = score_block(nbrs)  # [B, <=E*M] (hot: fused gather + distance)
         nd = jnp.where(fresh, nd, jnp.inf)
 
         dcomp = dcomp + jnp.sum(fresh, dtype=jnp.int32)
@@ -453,7 +476,7 @@ def beam_search_core(
         sd_new, si_new, se_new = jax.lax.sort(
             (nd, nbrs, ~fresh), dimension=1, num_keys=1, is_stable=True
         )
-        if em > ef:
+        if nd.shape[1] > ef:
             sd_new = sd_new[:, :ef]
             si_new = si_new[:, :ef]
             se_new = se_new[:, :ef]
@@ -493,7 +516,8 @@ def beam_search_core(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "ef", "metric", "num_initializations", "max_hops", "expand_factor"
+        "ef", "metric", "num_initializations", "max_hops",
+        "expand_factor", "compact_width",
     ),
 )
 def beam_search(
@@ -507,6 +531,7 @@ def beam_search(
     num_initializations: int = 100,
     max_hops: int = 0,
     expand_factor: int = 1,
+    compact_width: int = 0,
 ) -> BeamResults:
     """Batched beam search over raw stored vectors; returns the full
     ef-wide beam per query.
@@ -559,6 +584,7 @@ def beam_search(
         num_initializations=num_initializations,
         max_hops=max_hops,
         expand_factor=expand_factor,
+        compact_width=compact_width,
         entry_block=entry_block,
     )
 
@@ -567,7 +593,7 @@ def beam_search(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "num_initializations", "max_hops",
-        "expand_factor",
+        "expand_factor", "compact_width",
     ),
 )
 def batched_search(
@@ -583,6 +609,7 @@ def batched_search(
     num_initializations: int = 100,
     max_hops: int = 0,
     expand_factor: int = 1,
+    compact_width: int = 0,
 ) -> SearchResults:
     """Top-K search: Index::search (Index.h:387-409) over a query batch.
 
@@ -601,6 +628,7 @@ def batched_search(
         num_initializations=num_initializations,
         max_hops=max_hops,
         expand_factor=expand_factor,
+        compact_width=compact_width,
     )
     top_d = beam.dists[:, :k]
     top_i = beam.ids[:, :k]

@@ -173,19 +173,27 @@ def brute_force_knn(
     k: int,
     metric: MetricType = MetricType.L2,
     tile_size: int = 65536,
+    n_valid: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact k-nearest-neighbors by tiled scan over the dataset.
 
-    Returns (dists [B, k] ascending, ids [B, k]). Serves as the on-device
-    ground-truth oracle for recall tests (the reference computes ground
-    truth on host or downloads it; see test_utils.py / data pipeline).
+    Returns (dists [B, k] ascending, ids [B, k]). Serves both as the
+    on-device ground-truth oracle for recall tests (the reference computes
+    ground truth on host or downloads it; see test_utils.py / data
+    pipeline) and as the engine behind Index.search_exact — on TPU the
+    full-table MXU scan IS the fast path at HBM-resident scale (cf.
+    TPU-KNN, arXiv:2206.14286): it is the reference's initializeSearch
+    strided scan (Index.h:845-870) generalized to every row.
 
     The dataset is scanned in tiles of `tile_size` rows; each tile is one
     [B, d] x [d, T] MXU matmul, merged into a running top-k. Peak memory is
-    O(B * (k + tile_size)) instead of O(B * N).
+    O(B * (k + tile_size)) instead of O(B * N). Rows at or past `n_valid`
+    (default: all rows) are excluded — callers with over-allocated
+    capacity (index arrays) pass their committed prefix length.
     """
     n, d = dataset.shape
     b = queries.shape[0]
+    n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     tile = max(min(tile_size, n), 128)
     n_tiles = -(-n // tile)
     n_pad = n_tiles * tile
@@ -200,7 +208,7 @@ def brute_force_knn(
         rows = jax.lax.dynamic_slice_in_dim(dataset, start, tile, axis=0)
         dists = pairwise_distances(queries, rows, metric, x_sq=q_sq)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        valid = (ids < n)
+        valid = (ids < n_limit)
         dists = jnp.where(valid, dists, jnp.inf)
         ids = jnp.broadcast_to(ids, (b, tile))
         all_d = jnp.concatenate([best_d, dists], axis=1)

@@ -179,3 +179,25 @@ def test_mtx_import_roundtrip(rng, tmp_path):
     # searching the imported graph works (ring is connected)
     d0, l0 = index.search(data[:5], K=1, ef_search=200)
     assert (l0[:, 0] == np.arange(5)).all()
+
+
+def test_search_exact_matches_ground_truth(rng):
+    """search_exact returns the exact kNN over committed rows — including
+    a non-iota label mapping and capacity > num_nodes."""
+    n, cap, d, k = 1200, 2000, 24, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((33, d), dtype=np.float32)
+    labels = (np.arange(n) * 7 + 3).astype(np.int32)  # non-trivial labels
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=cap, max_edges_per_node=8
+    )
+    index.add(data, ef_construction=40, labels=labels)
+    dists, found = index.search_exact(queries, K=k)
+    gt_rows = _brute_force_labels(
+        data, queries, k, flatnav_tpu.MetricType.L2
+    )
+    np.testing.assert_array_equal(found, labels[gt_rows])
+    assert np.all(np.diff(dists, axis=1) >= 0)
+    # exact search is a recall-1.0 upper bound for the graph engine
+    g_dists, g_found = index.search(queries, K=k, ef_search=64)
+    assert g_dists[:, 0].min() >= dists[:, 0].min() - 1e-5

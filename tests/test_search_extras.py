@@ -209,3 +209,42 @@ def test_loop_impl_matches_while(rng, loop_impl):
             S.LOOP_IMPL = "while"
     for a, b in zip(outs["while"], outs[loop_impl]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_compact_width_noop_and_recall(rng):
+    """compact_width >= E*M is a no-op (bit-identical); a narrow width
+    keeps recall within a point on a navigable graph."""
+    import jax
+
+    import flatnav_tpu.index.search as S
+    from flatnav_tpu.index import graph_from_numpy
+    from flatnav_tpu.ops import brute_force_knn
+    from tests.test_search import build_knn_graph
+
+    n, d, m, k = 2000, 24, 8, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = jnp.asarray(rng.standard_normal((64, d), dtype=np.float32))
+    g = graph_from_numpy(data, build_knn_graph(data, m, MetricType.L2))
+    gt = np.asarray(
+        brute_force_knn(jnp.asarray(data), q, k, MetricType.L2)[1]
+    )
+
+    def run(cw):
+        r = S.batched_search(
+            g.vectors, g.links, g.labels, g.num_nodes, q,
+            k=k, ef=48, expand_factor=4, compact_width=cw,
+        )
+        return np.asarray(r.dists), np.asarray(r.labels)
+
+    def recall(labels):
+        return np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / k
+            for a, b in zip(labels, gt)
+        ])
+
+    d0, l0 = run(0)
+    d_full, l_full = run(4 * m)  # cw == E*M -> compaction branch skipped
+    np.testing.assert_array_equal(d_full, d0)
+    np.testing.assert_array_equal(l_full, l0)
+    d_c, l_c = run(24)  # narrower than E*M=32, still >= ... half
+    assert recall(l_c) >= recall(l0) - 0.02
