@@ -34,7 +34,7 @@ from flatnav_tpu.index.graph import (
     node_size_bytes,
 )
 from flatnav_tpu.index.search import batched_search
-from flatnav_tpu.ops.distances import MetricType, brute_force_knn
+from flatnav_tpu.ops.distances import MetricType, brute_force_knn, fast_knn
 
 _DISTANCE_TYPES = {"l2": MetricType.L2, "angular": MetricType.IP, "ip": MetricType.IP}
 
@@ -278,7 +278,7 @@ class Index:
         return d[0], l[0]
 
     def search_exact(
-        self, queries: np.ndarray, K: int
+        self, queries: np.ndarray, K: int, rerank: int = 0
     ) -> Tuple[np.ndarray, np.ndarray]:
         """EXACT batched kNN over the committed rows (recall 1.0) via the
         tiled MXU scan (ops.brute_force_knn).
@@ -291,6 +291,11 @@ class Index:
         contractions run at MXU speed (cf. TPU-KNN, arXiv:2206.14286).
         Distance conventions match `search` (squared L2 / 1 - <q, x>).
         Returns (dists [B, K] float32, labels [B, K] int32).
+
+        `rerank > 0` (float data only) switches to the two-phase scan
+        (ops.fast_knn): one bf16 MXU pass + hardware approx_min_k
+        shortlist of `rerank` candidates, exactly reranked in f32 —
+        several times faster; near-1.0 (not guaranteed-1.0) recall.
         """
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -316,13 +321,16 @@ class Index:
             if hi - lo < bs and b > bs:
                 pad = bs - (hi - lo)
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
-            dists, ids = brute_force_knn(
-                g.vectors,
-                jnp.asarray(chunk.astype(qdtype, copy=False)),
-                K,
-                self._metric,
-                n_valid=g.num_nodes,
-            )
+            qdev = jnp.asarray(chunk.astype(qdtype, copy=False))
+            if rerank > 0 and not np.issubdtype(qdtype, np.integer):
+                dists, ids = fast_knn(
+                    g.vectors, qdev, K, self._metric,
+                    rerank=rerank, n_valid=g.num_nodes,
+                )
+            else:
+                dists, ids = brute_force_knn(
+                    g.vectors, qdev, K, self._metric, n_valid=g.num_nodes,
+                )
             pending.append((lo, hi, dists, jnp.take(g.labels, ids, axis=0)))
         for lo, hi, dists, labels in pending:
             out_d[lo:hi] = np.asarray(dists)[: hi - lo]

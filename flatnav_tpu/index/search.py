@@ -113,14 +113,17 @@ LOOP_IMPL = "while"
 
 #: membership/dedup lowering (results are BIT-IDENTICAL; only op counts
 #: differ — tests/test_search_extras.py asserts the equality):
-#:   "bsearch" — sorted structures + branchless binary search:
-#:     O(B*EM*log) gathers for beam/history membership and O(B*EM*logEM)
-#:     sorts for intra-hop dedup. At expand_factor >= 16 this replaces the
-#:     dominant hop cost (the naive broadcast compares are O(B*EM*ef),
-#:     O(B*EM*hist), and O(B*EM^2) respectively — tens of G-ops per hop
-#:     at E=64).
-#:   "compare" — naive broadcast-compare forms (reference-style clarity).
-MEMBERSHIP_IMPL = "bsearch"
+#:   "compare" — broadcast-compare forms: O(B*EM*ef), O(B*EM*hist) and
+#:     O(B*EM^2) VPU ops per hop. Tens of G-ops at E=64 — and still 13x
+#:     FASTER per hop than "bsearch" on v5e (151 vs 1936 ms/hop measured
+#:     at B=4096/E=64/ef=128): dense elementwise compares are what the
+#:     VPU is for, while bsearch's log-width take_along_axis probes are
+#:     per-element gathers, the single slowest primitive on TPU.
+#:   "bsearch" — sorted structures + branchless binary search: fewer ops
+#:     on paper (O(B*EM*log) membership, O(B*EM*logEM) dedup), the right
+#:     lowering on CPU meshes and for very large E*M*hist products where
+#:     the compare forms' O(n^2) finally bites.
+MEMBERSHIP_IMPL = "compare"
 
 #: entry-scan ("initializeSearch", Index.h:845-870) lowering:
 #:   "direct" — score_block over per-query broadcast candidate ids: the

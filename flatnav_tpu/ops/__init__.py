@@ -1,6 +1,7 @@
 from flatnav_tpu.ops.distances import (  # noqa: F401
     MetricType,
     brute_force_knn,
+    fast_knn,
     pairwise_distances,
     query_block_distances,
     squared_norms,

@@ -232,3 +232,88 @@ def brute_force_knn(
         jnp.take_along_axis(best_d, order, axis=1),
         jnp.take_along_axis(best_i, order, axis=1),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_size", "rerank", "recall_target"),
+)
+def fast_knn(
+    dataset: jax.Array,
+    queries: jax.Array,
+    k: int,
+    metric: MetricType = MetricType.L2,
+    tile_size: int = 65536,
+    rerank: int = 64,
+    recall_target: float = 0.95,
+    n_valid: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-phase kNN scan: single-pass bf16 MXU distances + hardware
+    `approx_min_k` shortlist per tile, then EXACT f32 rerank of the final
+    `rerank` candidates per query (the TPU-KNN recipe, arXiv:2206.14286).
+
+    Returned distances are exact f32 (same conventions as
+    brute_force_knn); the only approximation is candidate selection — a
+    true neighbor is missed only if bf16 rounding pushes it past the
+    `rerank`-wide shortlist (measured recall vs the exact oracle is the
+    acceptance criterion wherever this is used). Float inputs only;
+    integer data should use brute_force_knn's exact int32 path.
+    """
+    n, d = dataset.shape
+    b = queries.shape[0]
+    r = max(rerank, k)
+    n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+    tile = max(min(tile_size, n), 128)
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+    if n_pad != n:
+        dataset = jnp.concatenate(
+            [dataset, jnp.zeros((n_pad - n, d), dataset.dtype)], axis=0
+        )
+    qf = queries.astype(jnp.float32)
+
+    def scan_tile(carry, tile_idx):
+        best_key, best_i = carry
+        start = tile_idx * tile
+        rows = jax.lax.dynamic_slice_in_dim(dataset, start, tile, axis=0)
+        rf = rows.astype(jnp.float32)
+        # one bf16 MXU pass (DEFAULT precision): ranking key only —
+        # ||x||^2 is constant per query and dropped for L2
+        dots = jax.lax.dot_general(
+            qf, rf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if metric == MetricType.IP:
+            key = -dots
+        else:
+            ys = jnp.sum(rf * rf, axis=-1)
+            key = ys[None, :] - 2.0 * dots
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        key = jnp.where(ids < n_limit, key, jnp.inf)
+        tile_key, tile_pos = jax.lax.approx_min_k(
+            key, r, recall_target=recall_target
+        )
+        tile_ids = jnp.take_along_axis(
+            jnp.broadcast_to(ids, (b, tile)), tile_pos, axis=1
+        )
+        all_key = jnp.concatenate([best_key, tile_key], axis=1)
+        all_i = jnp.concatenate([best_i, tile_ids], axis=1)
+        neg_top, pos = jax.lax.top_k(-all_key, r)
+        return (-neg_top, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, r), jnp.inf, jnp.float32),
+        jnp.zeros((b, r), jnp.int32),
+    )
+    (_, cand_i), _ = jax.lax.scan(
+        scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    # exact f32 rerank of the [B, r] shortlist
+    cand_rows = jnp.take(dataset, cand_i, axis=0)
+    exact = query_block_distances(qf, cand_rows, metric)
+    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    return (
+        jnp.take_along_axis(exact, order, axis=1),
+        jnp.take_along_axis(cand_i, order, axis=1),
+    )

@@ -138,3 +138,50 @@ def test_brute_force_knn_non_multiple_tile(rng):
     assert (np.asarray(ids)[:, 0] == np.arange(5)).all()
     assert np.all(np.asarray(dists)[:, 0] < 1e-4)
     assert np.all(np.asarray(ids) < n)
+
+
+def test_fast_knn_matches_exact(rng):
+    """Two-phase scan (bf16 + approx_min_k shortlist + exact rerank):
+    returned distances are exact for the ids returned, and candidate
+    recall vs the exact oracle is high."""
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops.distances import (
+        MetricType, brute_force_knn, fast_knn, query_block_distances,
+    )
+
+    n, d, b, k = 20000, 64, 128, 10
+    data = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((b, d), dtype=np.float32))
+    gd, gi = brute_force_knn(data, q, k, MetricType.L2, tile_size=8192)
+    fd, fi = fast_knn(data, q, k, MetricType.L2, tile_size=8192, rerank=32)
+    recall = np.mean([
+        len(set(a.tolist()) & set(b_.tolist())) / k
+        for a, b_ in zip(np.asarray(fi), np.asarray(gi))
+    ])
+    assert recall >= 0.99, recall
+    # distances for returned ids are the exact f32 values
+    want = query_block_distances(
+        q, jnp.take(data, fi, axis=0), MetricType.L2
+    )
+    np.testing.assert_allclose(
+        np.asarray(fd), np.asarray(want), rtol=1e-6, atol=1e-5
+    )
+    assert np.all(np.diff(np.asarray(fd), axis=1) >= 0)
+
+
+def test_fast_knn_n_valid(rng):
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops.distances import MetricType, fast_knn
+
+    n, d = 5000, 32
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    # rows past 3000 are near-zero: would dominate if not masked
+    data[3000:] *= 1e-3
+    q = jnp.asarray(np.zeros((8, d), dtype=np.float32))
+    _, ids = fast_knn(
+        jnp.asarray(data), q, 5, MetricType.L2,
+        n_valid=jnp.asarray(3000),
+    )
+    assert (np.asarray(ids) < 3000).all()
