@@ -176,6 +176,7 @@ def _time_only(args):
                     q_dev[lo : lo + args.batch], k=args.k,
                     ef=args.ef_search, metric=metric,
                     expand_factor=args.expand_factor,
+                    compact_width=args.compact_width,
                 )
                 for lo in range(0, nq, args.batch)
             ]  # async dispatch pipelines chunks through the device
@@ -214,6 +215,7 @@ def main():
     ap.add_argument("--index", default="/tmp/bench_index.npz")
     ap.add_argument("--queries-file", default="/tmp/bench_queries.npy")
     ap.add_argument("--ef-search", type=int, default=128)
+    ap.add_argument("--compact-width", type=int, default=0)
     args = ap.parse_args()
 
     if args.time_only:
@@ -266,7 +268,7 @@ def main():
 
     q_dev = jnp.asarray(queries)
 
-    def run(ef: int, expand: int):
+    def run(ef: int, expand: int, cw: int = 0):
         outs, outs_d = [], []
         for lo in range(0, args.num_queries, args.batch):
             res = batched_search(
@@ -279,6 +281,7 @@ def main():
                 ef=ef,
                 metric=MetricType.L2,
                 expand_factor=expand,
+                compact_width=cw,
             )
             outs.append(res.labels)
             outs_d.append(res.dists)
@@ -289,21 +292,26 @@ def main():
 
     # find operating points: for each expand_factor, the first ef meeting
     # the recall target (E trades hop width against hop count; which wins
-    # varies with the tunnel phase, so both candidates get timed)
-    candidates = []  # (ef, E, recall, recall_dist)
+    # varies with the tunnel phase, so both candidates get timed).
+    # compact_width stays 0 here: the 1M sweep showed aggressive
+    # compaction (256 << E*M) costs real recall on clustered data at
+    # scale; it remains a power-user knob (--compact-width in time-only)
+    candidates = []  # (ef, E, cw, recall, recall_dist)
     for expand in E_SWEEP:
+        cw = 0
         for ef in EF_SWEEP:
             t0 = time.time()
-            found, found_d = run(ef, expand)
+            found, found_d = run(ef, expand, cw)
             r = _recall(found, gt)
             rd = _recall_dist(found_d, gt_dn)
-            _log(f"E={expand} ef={ef}: recall={r:.4f} (dist-based {rd:.4f},"
-                 f" {time.time()-t0:.1f}s incl compile)")
+            _log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
+                 f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
+                 f"compile)")
             if r >= args.target_recall:
-                candidates.append((ef, expand, r, rd))
+                candidates.append((ef, expand, cw, r, rd))
                 break
     if not candidates:
-        candidates = [(EF_SWEEP[-1], E_SWEEP[0], r, rd)]
+        candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, r, rd)]
 
     # Steady-state timing. The tunnel's throughput phase is sticky PER
     # PROCESS (measured 13-25x run-to-run variance on identical compiled
@@ -316,7 +324,7 @@ def main():
     save_index("/tmp/bench_index.npz", g, MetricType.L2)
     np.save("/tmp/bench_queries.npy", queries)
 
-    def measure(engine, ef, expand):
+    def measure(engine, ef, expand, cw=0):
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
@@ -339,6 +347,7 @@ def main():
                         g.vectors, g.links, g.labels, g.num_nodes,
                         q_dev[lo : lo + args.batch], k=args.k, ef=ef,
                         metric=MetricType.L2, expand_factor=expand,
+                        compact_width=cw,
                     )
                     for lo in range(0, args.num_queries, args.batch)
                 ]  # async dispatch pipelines chunks through the device
@@ -346,7 +355,7 @@ def main():
                     np.asarray(res.labels)
             times.append(time.time() - t0)
         qps_c = args.num_queries / min(times)
-        _log(f"in-process timing {engine} E={expand} ef={ef}: "
+        _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw}: "
              f"{qps_c:.0f} qps")
         for attempt in range(args.retime_procs):
             sub = subprocess.run(
@@ -355,6 +364,7 @@ def main():
                  "--index", "/tmp/bench_index.npz",
                  "--queries-file", "/tmp/bench_queries.npy",
                  "--ef-search", str(ef), "--expand-factor", str(expand),
+                 "--compact-width", str(cw),
                  "--batch", str(args.batch), "--k", str(args.k),
                  "--repeats", str(args.repeats)],
                 capture_output=True, text=True, timeout=1800,
@@ -371,12 +381,13 @@ def main():
             qps_c = max(qps_c, qps_sub)
         return qps_c
 
-    best = None  # graph engine: (qps, ef, E, recall, recall_dist)
-    for ef, expand, r, rd in candidates:
-        qps_c = measure("graph", ef, expand)
+    best = None  # graph engine: (qps, ef, E, cw, recall, recall_dist)
+    for ef, expand, cw, r, rd in candidates:
+        qps_c = measure("graph", ef, expand, cw)
         if best is None or qps_c > best[0]:
-            best = (qps_c, ef, expand, r, rd)
-    graph_qps, chosen_ef, chosen_e, graph_recall, graph_recall_d = best
+            best = (qps_c, ef, expand, cw, r, rd)
+    (graph_qps, chosen_ef, chosen_e, chosen_cw, graph_recall,
+     graph_recall_d) = best
 
     # exact engine (recall 1.0 by construction — verified once here)
     ex_d, ex_i = brute_force_knn(
@@ -442,6 +453,7 @@ def main():
                 "graph_recall": round(graph_recall, 4),
                 "ef_search": chosen_ef,
                 "expand_factor": chosen_e,
+                "compact_width": chosen_cw,
                 "build_seconds": round(build_s, 1),
                 "baseline_qps": ref_qps,
                 "baseline_measured": ref_measured,

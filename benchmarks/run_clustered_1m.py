@@ -30,7 +30,7 @@ from flatnav_tpu.bench.synth import clustered  # noqa: E402
 from flatnav_tpu.index import batched_search  # noqa: E402
 from flatnav_tpu.index.build import add_batch  # noqa: E402
 from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
-from flatnav_tpu.ops import MetricType, brute_force_knn  # noqa: E402
+from flatnav_tpu.ops import MetricType, brute_force_knn, fast_knn  # noqa: E402
 
 N, D, M, NQ, K, EFC = 1_000_000, 128, 32, 8192, 10, 100
 TARGET = 0.95
@@ -44,27 +44,42 @@ def log(m):
 def main():
     run_baseline = "--no-baseline" not in sys.argv
     data, queries = clustered(N, D, NQ)
-    t0 = time.time()
-    g = add_batch(
-        make_empty_graph(N, D, M), data, np.arange(N),
-        ef_construction=EFC, metric=MetricType.L2,
-    )
-    assert int(g.num_nodes) == N  # host sync before reading the clock
-    build_s = time.time() - t0
-    log(f"build {build_s:.1f}s")
+    # cache the built index on disk — iterating on the search sweep
+    # shouldn't pay the ~10 min build each run (delete to force rebuild)
+    cache = f"/tmp/1m_index_{N}_{D}_{M}_{EFC}.npz"
+    if os.path.exists(cache) and "--rebuild" not in sys.argv:
+        from flatnav_tpu.index.serialize import load_index
+
+        g, _, meta = load_index(cache)
+        build_s = float(meta.get("build_seconds", 0.0))
+        log(f"loaded cached index ({cache}); recorded build {build_s:.1f}s")
+    else:
+        t0 = time.time()
+        g = add_batch(
+            make_empty_graph(N, D, M), data, np.arange(N),
+            ef_construction=EFC, metric=MetricType.L2,
+        )
+        assert int(g.num_nodes) == N  # host sync before reading the clock
+        build_s = time.time() - t0
+        log(f"build {build_s:.1f}s")
+        from flatnav_tpu.index.serialize import save_index
+
+        save_index(cache, g, MetricType.L2,
+                   extra={"build_seconds": round(build_s, 1)})
 
     gt = np.asarray(
         brute_force_knn(jnp.asarray(data), jnp.asarray(queries), K)[1]
     )
     q_dev = jnp.asarray(queries)
 
-    def run(ef, expand):
+    def run(ef, expand, cw=0):
         outs = []
         for lo in range(0, NQ, BATCH):
             r = batched_search(
                 g.vectors, g.links, g.labels, g.num_nodes,
                 q_dev[lo : lo + BATCH], k=K, ef=ef,
                 metric=MetricType.L2, expand_factor=expand,
+                compact_width=cw,
             )
             outs.append(np.asarray(r.labels))
         return np.concatenate(outs, 0)
@@ -96,21 +111,44 @@ def main():
     exact = {"recall": exact_recall, "qps": NQ / min(times)}
     log(f"exact engine: {exact['qps']:.0f} qps @ recall {exact_recall:.4f}")
 
+    # two-phase scan (bf16 + approx_min_k shortlist + exact f32 rerank)
+    def run_fast():
+        outs = []
+        for lo in range(0, NQ, BATCH):
+            _, i_ = fast_knn(
+                g.vectors, q_dev[lo : lo + BATCH], K,
+                MetricType.L2, rerank=64, n_valid=g.num_nodes,
+            )
+            outs.append(np.asarray(i_))
+        return np.concatenate(outs, 0)
+
+    fast_recall = recall(run_fast())
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run_fast()
+        times.append(time.time() - t0)
+    fast = {"recall": fast_recall, "qps": NQ / min(times)}
+    log(f"fast engine: {fast['qps']:.0f} qps @ recall {fast_recall:.4f}")
+
     rows = []
     chosen = None
-    for expand in (64, 16):
-        for ef in (100, 128, 192, 256, 384, 512, 768):
+    # the reference's own 1M grids sweep ef_search up to 3000
+    # (experiments/Makefile:365-384) — clustered 1M needs the upper range
+    for expand in (16, 64):
+        cw = 0
+        for ef in (256, 384, 512, 768, 1024, 1536, 2048):
             t0 = time.time()
-            r = recall(run(ef, expand))
-            log(f"E={expand} ef={ef}: recall={r:.4f} "
+            r = recall(run(ef, expand, cw))
+            log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
                 f"({time.time()-t0:.1f}s incl compile)")
-            rows.append({"ef": ef, "expand": expand, "recall": r})
+            rows.append({"ef": ef, "expand": expand, "cw": cw, "recall": r})
             if r >= TARGET:
                 # steady-state timing
                 times = []
                 for _ in range(3):
                     t0 = time.time()
-                    run(ef, expand)
+                    run(ef, expand, cw)
                     times.append(time.time() - t0)
                 qps = NQ / min(times)
                 rows[-1]["qps"] = qps
@@ -122,6 +160,16 @@ def main():
     ref = None
     if run_baseline:
         binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
+        if not os.path.exists(binary):
+            build = os.path.join(
+                _REPO, "tools/reference_baseline/build_baseline.sh"
+            )
+            try:
+                subprocess.run(
+                    ["bash", build], check=True, capture_output=True
+                )
+            except Exception as e:
+                log(f"baseline build failed ({e})")
         if os.path.exists(binary):
             df, qf, gf = "/tmp/1m_data.f32", "/tmp/1m_q.f32", "/tmp/1m_gt.i32"
             nq_ref = 2000
@@ -145,6 +193,7 @@ def main():
                 "ann-benchmarks data (see flatnav_tpu/bench/synth.py)",
         "build_seconds": round(build_s, 1),
         "exact_engine": exact,
+        "fast_engine": fast,
         "graph_operating_point": chosen,
         "sweep": rows,
         "reference_single_core": ref,
