@@ -159,7 +159,8 @@ def _time_only(args):
         if args.engine in ("exact", "fast"):
             knn = brute_force_knn if args.engine == "exact" else (
                 lambda v, q, k, m, n_valid: fast_knn(
-                    v, q, k, m, rerank=64, n_valid=n_valid
+                    v, q, k, m, tile_size=262144, rerank=32,
+                    n_valid=n_valid,
                 )
             )
             pend = [
@@ -331,7 +332,8 @@ def main():
             if engine in ("exact", "fast"):
                 knn = brute_force_knn if engine == "exact" else (
                     lambda v, q, k, m, n_valid: fast_knn(
-                        v, q, k, m, rerank=64, n_valid=n_valid
+                        v, q, k, m, tile_size=262144, rerank=32,
+                        n_valid=n_valid,
                     )
                 )
                 pend = [
@@ -403,7 +405,8 @@ def main():
     fast_found = np.concatenate([
         np.asarray(fast_knn(
             g.vectors, q_dev[lo : lo + args.batch], args.k,
-            MetricType.L2, rerank=64, n_valid=g.num_nodes,
+            MetricType.L2, tile_size=262144, rerank=32,
+            n_valid=g.num_nodes,
         )[1])
         for lo in range(0, args.num_queries, args.batch)
     ])

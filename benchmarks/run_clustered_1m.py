@@ -34,7 +34,7 @@ from flatnav_tpu.ops import MetricType, brute_force_knn, fast_knn  # noqa: E402
 
 N, D, M, NQ, K, EFC = 1_000_000, 128, 32, 8192, 10, 100
 TARGET = 0.95
-BATCH = 2048
+BATCH = 4096  # scan engines gain ~40% at 4096 vs 2048 (measured)
 
 
 def log(m):
@@ -117,7 +117,8 @@ def main():
         for lo in range(0, NQ, BATCH):
             _, i_ = fast_knn(
                 g.vectors, q_dev[lo : lo + BATCH], K,
-                MetricType.L2, rerank=64, n_valid=g.num_nodes,
+                MetricType.L2, tile_size=262144, rerank=32,
+                n_valid=g.num_nodes,
             )
             outs.append(np.asarray(i_))
         return np.concatenate(outs, 0)

@@ -243,8 +243,8 @@ def fast_knn(
     queries: jax.Array,
     k: int,
     metric: MetricType = MetricType.L2,
-    tile_size: int = 65536,
-    rerank: int = 64,
+    tile_size: int = 131072,
+    rerank: int = 32,
     recall_target: float = 0.95,
     n_valid: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -258,6 +258,13 @@ def fast_knn(
     `rerank`-wide shortlist (measured recall vs the exact oracle is the
     acceptance criterion wherever this is used). Float inputs only;
     integer data should use brute_force_knn's exact int32 path.
+
+    Tuning (measured v5e, B=4096, d=128): the rerank gather is
+    issue-rate-bound (~150 ns/row), so small `rerank` wins — 32 beats 64
+    by ~1.3-1.6x; larger tiles amortize per-tile approx_min_k — at 1M,
+    tile 262144 + rerank 32 reaches 49k QPS (vs 13.9k fully exact).
+    Callers with B > 4096 should keep tile_size <= 131072 (the [B, tile]
+    key matrix is materialized per tile).
     """
     n, d = dataset.shape
     b = queries.shape[0]
