@@ -79,6 +79,24 @@ class HnswAdapter:
         raise NotImplementedError("hnswlib baseline has no reordering")
 
 
+class ScanAdapter:
+    """Presents Index.search_exact (exact MXU scan / two-phase fast scan)
+    through the harness's `search(queries, K, ef_search)` contract —
+    ef_search is accepted and ignored (the scan has no beam). All other
+    attributes delegate to the underlying Index."""
+
+    def __init__(self, index, rerank: int):
+        self._index = index
+        self._rerank = rerank
+
+    def search(self, queries, K: int, ef_search: int):
+        del ef_search
+        return self._index.search_exact(queries, K, rerank=self._rerank)
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+
 def train_index(
     train_data: np.ndarray,
     metric: str,
@@ -118,6 +136,12 @@ def train_index(
         collect_stats=True,
     )
     t0 = time.time()
+    if index_type in ("flatnav-exact", "flatnav-fast"):
+        # scan engines need only the vectors — allocate without edges
+        # (the reference's allocateNode path, bindings.cpp:308-324)
+        index.allocate_nodes(train_data)
+        rerank = 32 if index_type == "flatnav-fast" else 0
+        return ScanAdapter(index, rerank), time.time() - t0
     if use_hnsw_base_layer:
         # hnswlib base-layer import path (run-benchmark.py:204-239)
         import hnswlib
@@ -184,7 +208,10 @@ def parse_args(argv=None):
     p.add_argument("--gtruth", required=True)
     p.add_argument("--metric", default="l2", choices=["l2", "angular"])
     p.add_argument("--dataset-size", type=int, default=None, help="row limit")
-    p.add_argument("--index-type", default="flatnav", choices=["flatnav", "hnsw"])
+    p.add_argument(
+        "--index-type", default="flatnav",
+        choices=["flatnav", "flatnav-exact", "flatnav-fast", "hnsw"],
+    )
     p.add_argument("--data-type", default="float32")
     p.add_argument("--num-node-links", type=int, nargs="+", default=[32])
     p.add_argument("--ef-construction", type=int, nargs="+", default=[100])

@@ -213,3 +213,32 @@ def test_cli_construct_query(npy_triplet):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "recall@10=" in r.stdout
+
+
+@pytest.mark.parametrize("index_type", ["flatnav-exact", "flatnav-fast"])
+def test_run_benchmark_scan_engines(npy_triplet, index_type):
+    """The scan engines run through the full harness: allocate-only build
+    (no graph), search_exact under the adapter, recall ~1.0."""
+    paths, td = npy_triplet
+    from flatnav_tpu.bench.run_benchmark import parse_args, run_experiment
+
+    args = parse_args(
+        [
+            "--dataset", paths["train"],
+            "--queries", paths["queries"],
+            "--gtruth", paths["gtruth"],
+            "--metric", "l2",
+            "--index-type", index_type,
+            "--num-node-links", "8",
+            "--ef-construction", "32",
+            "--ef-search", "32",
+            "--k", "10",
+            "--batch-size", "64",
+            "--metrics-file", str(td / f"metrics_{index_type}.json"),
+            "--no-plot",
+        ]
+    )
+    rows = run_experiment(args)
+    assert len(rows) == 1
+    assert rows[0]["recall"] >= 0.99  # exact / near-exact by construction
+    assert rows[0]["qps"] > 0
