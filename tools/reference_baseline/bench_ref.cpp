@@ -8,11 +8,12 @@
 // is not part of the flatnav_tpu package.
 //
 // Usage:
-//   bench_ref data.f32 queries.f32 gt.i32 N NQ DIM TARGET [M] [EFC] [K]
-// where data.f32/queries.f32 are raw little-endian float32 row-major
-// [N,DIM]/[NQ,DIM] and gt.i32 is raw int32 [NQ,K] exact neighbors — the
-// SAME arrays bench.py builds/queries with, so the comparison is
-// apples-to-apples on identical data.
+//   bench_ref data queries gt.i32 N NQ DIM TARGET [M] [EFC] [K] [DTYPE]
+// where data/queries are raw little-endian row-major [N,DIM]/[NQ,DIM] of
+// DTYPE ("float32" default, or "uint8" for the BigANN-class workloads)
+// and gt.i32 is raw int32 [NQ,K] exact neighbors — the SAME arrays the
+// bench scripts build/query with, so the comparison is apples-to-apples
+// on identical data.
 //
 // Build: see build_baseline.sh. The reference's own benchmark protocol
 // (experiments/Makefile) uses 1 search thread; this machine has 1 core, so
@@ -25,7 +26,9 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <set>
+#include <string>
 #include <vector>
 
 using flatnav::Index;
@@ -44,40 +47,24 @@ static std::vector<char> read_file(const char* path, size_t expect) {
   return buf;
 }
 
-int main(int argc, char** argv) {
-  if (argc < 8) {
-    fprintf(stderr,
-            "usage: %s data.f32 queries.f32 gt.i32 N NQ DIM TARGET "
-            "[M=32] [EFC=100] [K=10]\n",
-            argv[0]);
-    return 2;
-  }
-  const int N = atoi(argv[4]);
-  const int NQ = atoi(argv[5]);
-  const int DIM = atoi(argv[6]);
-  const double TARGET = atof(argv[7]);
-  const int M = argc > 8 ? atoi(argv[8]) : 32;
-  const int EFC = argc > 9 ? atoi(argv[9]) : 100;
-  const int K = argc > 10 ? atoi(argv[10]) : 10;
-
-  auto data_buf = read_file(argv[1], (size_t)N * DIM * 4);
-  auto query_buf = read_file(argv[2], (size_t)NQ * DIM * 4);
+template <flatnav::util::DataType DT, typename ctype>
+static int run(char** argv, int N, int NQ, int DIM, double TARGET, int M,
+               int EFC, int K) {
+  auto data_buf = read_file(argv[1], (size_t)N * DIM * sizeof(ctype));
+  auto query_buf = read_file(argv[2], (size_t)NQ * DIM * sizeof(ctype));
   auto gt_buf = read_file(argv[3], (size_t)NQ * K * 4);
-  const float* data = reinterpret_cast<const float*>(data_buf.data());
-  const float* queries = reinterpret_cast<const float*>(query_buf.data());
+  const ctype* data = reinterpret_cast<const ctype*>(data_buf.data());
+  const ctype* queries = reinterpret_cast<const ctype*>(query_buf.data());
   const int* gt = reinterpret_cast<const int*>(gt_buf.data());
 
-  auto distance =
-      SquaredL2Distance<flatnav::util::DataType::float32>::create(DIM);
-  auto index =
-      new Index<SquaredL2Distance<flatnav::util::DataType::float32>, int>(
-          std::move(distance), N, M);
+  auto distance = SquaredL2Distance<DT>::create(DIM);
+  auto index = new Index<SquaredL2Distance<DT>, int>(std::move(distance), N, M);
   index->setNumThreads(1);
 
   std::vector<int> labels(N);
   for (int i = 0; i < N; i++) labels[i] = i;
   auto t0 = std::chrono::steady_clock::now();
-  index->template addBatch<float>(const_cast<float*>(data), labels, EFC);
+  index->template addBatch<ctype>(const_cast<ctype*>(data), labels, EFC);
   double build_s =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
           .count();
@@ -127,4 +114,29 @@ int main(int argc, char** argv) {
       "\"engine\": \"reference-cpp-avx512-1core\"}\n",
       qps, recall, chosen_ef, build_s, N, DIM, M);
   return 0;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 8) {
+    fprintf(stderr,
+            "usage: %s data queries gt.i32 N NQ DIM TARGET "
+            "[M=32] [EFC=100] [K=10] [DTYPE=float32|uint8]\n",
+            argv[0]);
+    return 2;
+  }
+  const int N = atoi(argv[4]);
+  const int NQ = atoi(argv[5]);
+  const int DIM = atoi(argv[6]);
+  const double TARGET = atof(argv[7]);
+  const int M = argc > 8 ? atoi(argv[8]) : 32;
+  const int EFC = argc > 9 ? atoi(argv[9]) : 100;
+  const int K = argc > 10 ? atoi(argv[10]) : 10;
+  const std::string dtype = argc > 11 ? argv[11] : "float32";
+
+  if (dtype == "uint8") {
+    return run<flatnav::util::DataType::uint8, uint8_t>(
+        argv, N, NQ, DIM, TARGET, M, EFC, K);
+  }
+  return run<flatnav::util::DataType::float32, float>(
+      argv, N, NQ, DIM, TARGET, M, EFC, K);
 }
