@@ -47,6 +47,8 @@ import subprocess
 import sys
 import time
 
+_T_START = time.time()
+
 
 def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -61,6 +63,13 @@ from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 import jax  # noqa: E402
+
+# sitecustomize.py sets jax_platforms programmatically, so the JAX_PLATFORMS
+# env var alone is ignored; honor it explicitly (CPU smoke-testing of this
+# script; the driver's real run leaves it unset -> TPU).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp  # noqa: E402
 
 from flatnav_tpu.bench.synth import clustered  # noqa: E402
@@ -100,6 +109,57 @@ def _workload_key(args, data):
         f"{args.k}:{args.target_recall}".encode()
     )
     return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Warm-run cache (VERDICT r02 item 1): the driver's bench run has a hard
+# wall-clock budget and the from-scratch build alone took 622s in round 2
+# (rc=124, no headline recorded). The graph is deterministic given the
+# (deterministic, seeded) data and the build code, so the expensive
+# artifacts — the built LINKS table and the swept operating points — are
+# cached in-repo (committed) keyed by the workload hash. A warm run
+# regenerates the data, reattaches the cached links, RE-MEASURES every
+# recall it reports (only the build and the sweep search are skipped), and
+# times the engines. Reference protocol precedent: persisted per-run
+# metrics at /root/reference/experiments/run-benchmark.py:509-552.
+# ---------------------------------------------------------------------------
+_CACHE_DIR = os.path.join(_REPO, ".bench_cache")
+
+
+def _load_cache(key):
+    gpath = os.path.join(_CACHE_DIR, f"graph_{key}.npz")
+    spath = os.path.join(_CACHE_DIR, f"sweep_{key}.json")
+    if not os.path.exists(gpath):
+        return None
+    out = {}
+    with np.load(gpath) as z:
+        out["links"] = z["links"]
+        out["build_seconds"] = float(z["build_seconds"])
+    if os.path.exists(spath):
+        with open(spath) as f:
+            out.update(json.load(f))
+    return out
+
+
+def _save_graph_cache(key, links_np, build_s):
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(_CACHE_DIR, f"graph_{key}.npz"),
+        links=links_np,
+        build_seconds=np.float64(build_s),
+    )
+
+
+def _save_sweep_cache(key, candidates, fast_recall):
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    with open(os.path.join(_CACHE_DIR, f"sweep_{key}.json"), "w") as f:
+        json.dump(
+            {
+                "candidates": [list(c[:3]) for c in candidates],
+                "fast_recall": fast_recall,
+            },
+            f,
+        )
 
 
 def _reference_baseline(args, data, queries, gt, key):
@@ -198,14 +258,21 @@ def main():
     ap.add_argument("--num-queries", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--target-recall", type=float, default=0.95)
-    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--budget", type=float, default=900.0,
+                    help="soft wall-clock budget (s); optional retimes are "
+                         "skipped as the deadline approaches so the JSON "
+                         "line always prints")
+    ap.add_argument("--rebuild-cache", action="store_true",
+                    help="ignore .bench_cache and rebuild/re-sweep from "
+                         "scratch (refreshing the cache)")
     ap.add_argument("--data", default="clustered",
                     choices=["clustered", "random"])
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "uint8", "bfloat16"])
     ap.add_argument("--expand-factor", type=int, default=64)
     ap.add_argument("--no-baseline", action="store_true")
-    ap.add_argument("--retime-procs", type=int, default=2,
+    ap.add_argument("--retime-procs", type=int, default=1,
                     help="fresh-process re-timings per candidate (the "
                          "tunnel phase is sticky per process)")
     # --time-only mode: load a saved index + queries, time one config,
@@ -241,25 +308,41 @@ def main():
             (args.num_queries, args.dim), dtype=np.float32
         )
 
-    _log(f"building {args.n}x{args.dim} {args.dtype} {args.data} "
-         f"M={args.m} efc={args.ef_construction}")
-    t0 = time.time()
-    g = make_empty_graph(
-        args.n, args.dim, args.m,
-        dtype={"float32": jnp.float32, "uint8": jnp.uint8,
-               "bfloat16": jnp.bfloat16}[args.dtype],
-    )
-    g = add_batch(
-        g,
-        np.asarray(data),
-        np.arange(args.n),
-        ef_construction=args.ef_construction,
-        metric=MetricType.L2,
-    )
-    jax.block_until_ready(g.links)
-    int(g.num_nodes)  # host sync: block_until_ready lies on tunneled TPUs
-    build_s = time.time() - t0
-    _log(f"build done in {build_s:.1f}s; computing ground truth")
+    key = _workload_key(args, np.asarray(data, dtype=np.float32))
+    cache = None if args.rebuild_cache else _load_cache(key)
+    build_cached = cache is not None
+    if build_cached:
+        from flatnav_tpu.index.graph import graph_from_numpy
+
+        _log(f"warm start: cached graph for workload {key} "
+             f"(built in {cache['build_seconds']:.1f}s)")
+        g = graph_from_numpy(
+            np.asarray(data), cache["links"], num_nodes=args.n,
+            capacity=args.n,
+        )
+        build_s = cache["build_seconds"]
+    else:
+        _log(f"building {args.n}x{args.dim} {args.dtype} {args.data} "
+             f"M={args.m} efc={args.ef_construction}")
+        t0 = time.time()
+        g = make_empty_graph(
+            args.n, args.dim, args.m,
+            dtype={"float32": jnp.float32, "uint8": jnp.uint8,
+                   "bfloat16": jnp.bfloat16}[args.dtype],
+        )
+        g = add_batch(
+            g,
+            np.asarray(data),
+            np.arange(args.n),
+            ef_construction=args.ef_construction,
+            metric=MetricType.L2,
+        )
+        jax.block_until_ready(g.links)
+        int(g.num_nodes)  # host sync: block_until_ready lies on tunnels
+        build_s = time.time() - t0
+        _save_graph_cache(key, np.asarray(g.links[: args.n]), build_s)
+        _log(f"build done in {build_s:.1f}s (links cached); "
+             "computing ground truth")
 
     gt_d, gt_i = brute_force_knn(
         jnp.asarray(data), jnp.asarray(queries), args.k, MetricType.L2
@@ -298,21 +381,39 @@ def main():
     # compaction (256 << E*M) costs real recall on clustered data at
     # scale; it remains a power-user knob (--compact-width in time-only)
     candidates = []  # (ef, E, cw, recall, recall_dist)
-    for expand in E_SWEEP:
-        cw = 0
-        for ef in EF_SWEEP:
-            t0 = time.time()
+    if cache and cache.get("candidates"):
+        # warm start: re-MEASURE the cached operating points' recall (the
+        # sweep search is skipped, every reported number is fresh); if
+        # search semantics changed and none qualify, fall through to the
+        # full sweep below
+        for ef, expand, cw in cache["candidates"]:
             found, found_d = run(ef, expand, cw)
             r = _recall(found, gt)
             rd = _recall_dist(found_d, gt_dn)
-            _log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
-                 f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
-                 f"compile)")
+            _log(f"cached op point E={expand} ef={ef} cw={cw}: "
+                 f"recall={r:.4f}")
             if r >= args.target_recall:
                 candidates.append((ef, expand, cw, r, rd))
-                break
+        if not candidates:
+            _log("cached operating points no longer meet the target; "
+                 "re-sweeping")
     if not candidates:
-        candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, r, rd)]
+        for expand in E_SWEEP:
+            cw = 0
+            for ef in EF_SWEEP:
+                t0 = time.time()
+                found, found_d = run(ef, expand, cw)
+                r = _recall(found, gt)
+                rd = _recall_dist(found_d, gt_dn)
+                _log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
+                     f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
+                     f"compile)")
+                if r >= args.target_recall:
+                    candidates.append((ef, expand, cw, r, rd))
+                    break
+        if not candidates:
+            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, r, rd)]
+        _save_sweep_cache(key, candidates, None)
 
     # Steady-state timing. The tunnel's throughput phase is sticky PER
     # PROCESS (measured 13-25x run-to-run variance on identical compiled
@@ -360,6 +461,9 @@ def main():
         _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw}: "
              f"{qps_c:.0f} qps")
         for attempt in range(args.retime_procs):
+            if time.time() - _T_START > args.budget - 150:
+                _log("budget nearly exhausted; skipping remaining retimes")
+                break
             sub = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--time-only",
                  "--engine", engine,
@@ -424,7 +528,6 @@ def main():
         engine_points, key=lambda p: p[1]
     )
 
-    key = _workload_key(args, np.asarray(data, dtype=np.float32))
     if args.no_baseline or args.dtype != "float32":
         ref_qps, ref_measured, ref = _FALLBACK_REF_QPS, False, {}
     else:
@@ -458,6 +561,7 @@ def main():
                 "expand_factor": chosen_e,
                 "compact_width": chosen_cw,
                 "build_seconds": round(build_s, 1),
+                "build_cached": build_cached,
                 "baseline_qps": ref_qps,
                 "baseline_measured": ref_measured,
                 "baseline_ef_search": ref.get("ef_search"),

@@ -46,6 +46,7 @@ Mapping from the reference:
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -151,6 +152,94 @@ ENTRY_IMPL = "matmul"
 SCORE_IMPL = "take"
 
 _INT_SENTINEL = jnp.int32(2**31 - 1)
+
+
+# ---------------------------------------------------------------------------
+# Device-memory guard (round-2 finding: graph search at ef=2048/B=4096 on a
+# 10M-row index reproducibly kernel-faulted the TPU worker — the hop body's
+# working set scales with B * ef * min(E*M, ef) through the merge network
+# plus B * C * d through the gathered score rows, and past HBM the runtime
+# dies instead of raising). batched_search estimates the working set at
+# trace time from static shapes and transparently CHUNKS the query batch
+# (queries are independent — results are bit-identical); if even one query
+# cannot fit, it raises a Python ValueError before any kernel launches.
+#
+# Calibration against the observed envelope (v5e 16 GB, 10M x 128 uint8
+# table = 2.6 GB): ef<=1024 at B=4096/E=64 ran; ef=2048 faulted. The
+# estimate below puts those at ~13 GB (fits) and ~26 GB (faults) against
+# ~11 GB usable — consistent. Override with FLATNAV_TPU_MEM_LIMIT=<bytes>
+# (0 disables the guard and chunking entirely).
+# ---------------------------------------------------------------------------
+
+
+def _device_mem_limit() -> int | None:
+    env = os.environ.get("FLATNAV_TPU_MEM_LIMIT")
+    if env is not None:
+        v = int(float(env))
+        return v if v > 0 else None
+    try:
+        dev = jax.local_devices()[0]
+        if dev.platform != "tpu":
+            return None  # host backends page; kernel faults are TPU-only
+        return int(dev.memory_stats().get("bytes_limit", 0)) or None
+    except Exception:
+        return None
+
+
+def _search_temp_bytes(
+    b: int, ef: int, em: int, d: int, compact_width: int, table_rows: int
+) -> int:
+    """Estimated bytes of materialized per-hop intermediates for a B-query
+    dispatch (sum of the terms XLA demonstrably does NOT fuse away)."""
+    c = compact_width if (compact_width and compact_width < em) else em
+    score = 2 * b * c * d * 4  # gathered rows + distance intermediate (f32)
+    merge = b * ef * min(c, ef)  # merge-network bool compares
+    hist = b * (2 * ef + 128) * 4  # expanded-id history
+    vis = (
+        b * (-(-table_rows // 32)) * 4 if VISITED_IMPL == "bitmask" else 0
+    )
+    sorts = 3 * b * (ef + c) * 4  # sort triples (dist, id, flag)
+    return score + merge + hist + vis + sorts
+
+
+def safe_query_batch(
+    b: int,
+    ef: int,
+    *,
+    m: int,
+    d: int,
+    expand_factor: int = 1,
+    compact_width: int = 0,
+    table_rows: int = 0,
+    table_bytes: int = 0,
+) -> int:
+    """Largest per-dispatch query sub-batch whose estimated working set
+    fits the device; returns `b` unchanged when no limit is known (host
+    backends). Raises ValueError when even a single query cannot fit —
+    the Python-side error the TPU runtime does not give us."""
+    limit = _device_mem_limit()
+    if not limit:
+        return b
+    avail = 0.85 * (limit - table_bytes)
+    e_f = max(min(expand_factor, ef), 1)
+    em = e_f * m
+    sub = b
+    while sub > 1 and _search_temp_bytes(
+        sub, ef, em, d, compact_width, table_rows
+    ) > avail:
+        sub //= 2
+    if _search_temp_bytes(sub, ef, em, d, compact_width, table_rows) > avail:
+        need = _search_temp_bytes(1, ef, em, d, compact_width, table_rows)
+        raise ValueError(
+            f"search config cannot fit device memory even at batch=1: "
+            f"ef={ef}, expand_factor={expand_factor} (E*M={em}), d={d} "
+            f"needs ~{need/1e9:.2f} GB of hop working set per query "
+            f"against ~{avail/1e9:.2f} GB available beside the "
+            f"{table_bytes/1e9:.2f} GB table. Reduce ef or "
+            f"expand_factor, set compact_width, or shard the table "
+            f"across chips (parallel.sharded_graph)."
+        )
+    return sub
 
 
 def _first_occurrence(ids: jax.Array) -> jax.Array:
@@ -620,22 +709,61 @@ def batched_search(
     `std::max(ef_search, K)` at Index.h:390. `expand_factor` > 1 expands
     that many beam entries per hop (fewer, wider hops — a throughput knob
     with near-neutral recall).
+
+    Memory safety: the query batch is transparently split into
+    sub-dispatches when the estimated hop working set would overflow
+    device memory (see safe_query_batch) — queries are independent, so
+    results are bit-identical to the unchunked dispatch. A config that
+    cannot fit even one query raises ValueError at trace time instead of
+    kernel-faulting the TPU worker.
     """
-    beam = beam_search(
-        vectors,
-        links,
-        num_nodes,
-        queries,
-        ef=max(ef, k),
-        metric=metric,
-        num_initializations=num_initializations,
-        max_hops=max_hops,
+    b = queries.shape[0]
+    ef_c = max(ef, k)
+    table_bytes = (
+        vectors.size * vectors.dtype.itemsize
+        + links.size * 4
+        + labels.size * 4
+    )
+    sub = safe_query_batch(
+        b,
+        ef_c,
+        m=links.shape[1],
+        d=vectors.shape[1],
         expand_factor=expand_factor,
         compact_width=compact_width,
+        table_rows=vectors.shape[0],
+        table_bytes=table_bytes,
     )
-    top_d = beam.dists[:, :k]
-    top_i = beam.ids[:, :k]
-    top_labels = jnp.where(
-        jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
+
+    def run(q):
+        beam = beam_search(
+            vectors,
+            links,
+            num_nodes,
+            q,
+            ef=ef_c,
+            metric=metric,
+            num_initializations=num_initializations,
+            max_hops=max_hops,
+            expand_factor=expand_factor,
+            compact_width=compact_width,
+        )
+        top_d = beam.dists[:, :k]
+        top_i = beam.ids[:, :k]
+        top_labels = jnp.where(
+            jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
+        )
+        return SearchResults(
+            top_d, top_labels, beam.dist_computations, beam.hops
+        )
+
+    if sub >= b:
+        return run(queries)
+    parts = [run(queries[lo : lo + sub]) for lo in range(0, b, sub)]
+    return SearchResults(
+        jnp.concatenate([p.dists for p in parts], axis=0),
+        jnp.concatenate([p.labels for p in parts], axis=0),
+        sum((p.dist_computations for p in parts[1:]),
+            parts[0].dist_computations),
+        sum((p.hops for p in parts[1:]), parts[0].hops),
     )
-    return SearchResults(top_d, top_labels, beam.dist_computations, beam.hops)

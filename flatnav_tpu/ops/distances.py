@@ -61,6 +61,55 @@ def squared_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(xf * xf, axis=-1)
 
 
+def exact_int_dot(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Exact int32 dot products x [B, d] . y [C, d] -> [B, C].
+
+    uint8/int8 inputs ride the native int8 MXU path (s8 x s8 -> s32, ~2x
+    bf16 and ~4x f32 matmul throughput on v5e). uint8 values don't fit
+    int8, so they are shifted by 128 and corrected exactly:
+
+        x.y = (x-128).(y-128) + 128*sum(x-128) + 128*sum(y-128) + 128^2*d
+
+    (the TPU-native analog of the reference's unpack-to-16-bit uint8
+    kernel, SquaredL2SimdExtensions.h:32-76). All terms are int32-exact
+    for d up to 2^31 / 128^2 = 131072. Wider int dtypes fall back to an
+    int32 contraction.
+    """
+    d = x.shape[-1]
+    nums = (((1,), (1,)), ((), ()))
+    s8_able = lambda a: a.dtype in (jnp.dtype(jnp.uint8), jnp.dtype(jnp.int8))
+    if s8_able(x) and s8_able(y) and d <= 131072:
+
+        def to_s8(a):
+            """-> (int8 values, int32 row sums of those values,
+            1 if shifted by 128 else 0)."""
+            if a.dtype == jnp.int8:
+                return a, jnp.sum(a.astype(jnp.int32), axis=-1), 0
+            s = (a.astype(jnp.int32) - 128).astype(jnp.int8)
+            return s, jnp.sum(s.astype(jnp.int32), axis=-1), 1
+
+        xs, sx, fx = to_s8(x)
+        ys, sy, fy = to_s8(y)
+        # x.y = x'.y' + 128*fx*sum(y') + 128*fy*sum(x') + 128^2*fx*fy*d
+        dots = jax.lax.dot_general(
+            xs, ys, dimension_numbers=nums,
+            preferred_element_type=jnp.int32,
+        )
+        if fy:
+            dots = dots + 128 * sx[:, None]
+        if fx:
+            dots = dots + 128 * sy[None, :]
+        if fx and fy:
+            dots = dots + (128 * 128) * d
+        return dots
+    return jax.lax.dot_general(
+        x.astype(jnp.int32),
+        y.astype(jnp.int32),
+        dimension_numbers=nums,
+        preferred_element_type=jnp.int32,
+    )
+
+
 def pairwise_distances(
     x: jax.Array,
     y: jax.Array,
@@ -76,15 +125,11 @@ def pairwise_distances(
     ground truth (cf. TPU-KNN, arXiv:2206.14286).
     """
     if _is_int(x) and _is_int(y):
-        # int32 MXU accumulation: exact integer distances (reference
-        # precedent SquaredL2SimdExtensions.h:32-76); float accumulation
-        # is inexact past 2^24 (uint8 L2 at d=960 reaches ~6.2e7).
-        dots_i = jax.lax.dot_general(
-            x.astype(jnp.int32),
-            y.astype(jnp.int32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        # exact integer distances (reference precedent
+        # SquaredL2SimdExtensions.h:32-76): int8 MXU where dtypes allow,
+        # int32 accumulation always; float accumulation is inexact past
+        # 2^24 (uint8 L2 at d=960 reaches ~6.2e7).
+        dots_i = exact_int_dot(x, y)
         if metric == MetricType.IP:
             return 1.0 - dots_i.astype(jnp.float32)
         xi = x.astype(jnp.int32)
@@ -256,8 +301,12 @@ def fast_knn(
     brute_force_knn); the only approximation is candidate selection — a
     true neighbor is missed only if bf16 rounding pushes it past the
     `rerank`-wide shortlist (measured recall vs the exact oracle is the
-    acceptance criterion wherever this is used). Float inputs only;
-    integer data should use brute_force_knn's exact int32 path.
+    acceptance criterion wherever this is used).
+
+    uint8/int8 inputs run phase 1 on the native int8 MXU (exact_int_dot:
+    s8 x s8 -> s32, ~4x f32 matmul throughput) — the selection key is then
+    EXACT int32, so the only shortlist risk is the approx_min_k recall
+    itself — and the rerank stays on the exact integer path.
 
     Tuning (measured v5e, B=4096, d=128): the rerank gather is
     issue-rate-bound (~150 ns/row), so small `rerank` wins — 32 beats 64
@@ -277,25 +326,36 @@ def fast_knn(
         dataset = jnp.concatenate(
             [dataset, jnp.zeros((n_pad - n, d), dataset.dtype)], axis=0
         )
-    qf = queries.astype(jnp.float32)
+    int_path = _is_int(queries) and _is_int(dataset)
+    qf = queries if int_path else queries.astype(jnp.float32)
 
     def scan_tile(carry, tile_idx):
         best_key, best_i = carry
         start = tile_idx * tile
         rows = jax.lax.dynamic_slice_in_dim(dataset, start, tile, axis=0)
-        rf = rows.astype(jnp.float32)
-        # one bf16 MXU pass (DEFAULT precision): ranking key only —
-        # ||x||^2 is constant per query and dropped for L2
-        dots = jax.lax.dot_general(
-            qf, rf,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if metric == MetricType.IP:
-            key = -dots
+        if int_path:
+            # exact int32 ranking key on the int8 MXU (s8 x s8 -> s32)
+            dots_i = exact_int_dot(qf, rows)
+            if metric == MetricType.IP:
+                key = (-dots_i).astype(jnp.float32)
+            else:
+                ri = rows.astype(jnp.int32)
+                ys_i = jnp.sum(ri * ri, axis=-1)
+                key = (ys_i[None, :] - 2 * dots_i).astype(jnp.float32)
         else:
-            ys = jnp.sum(rf * rf, axis=-1)
-            key = ys[None, :] - 2.0 * dots
+            rf = rows.astype(jnp.float32)
+            # one bf16 MXU pass (DEFAULT precision): ranking key only —
+            # ||x||^2 is constant per query and dropped for L2
+            dots = jax.lax.dot_general(
+                qf, rf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if metric == MetricType.IP:
+                key = -dots
+            else:
+                ys = jnp.sum(rf * rf, axis=-1)
+                key = ys[None, :] - 2.0 * dots
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
         key = jnp.where(ids < n_limit, key, jnp.inf)
         tile_key, tile_pos = jax.lax.approx_min_k(
@@ -316,7 +376,8 @@ def fast_knn(
     (_, cand_i), _ = jax.lax.scan(
         scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
     )
-    # exact f32 rerank of the [B, r] shortlist
+    # exact rerank of the [B, r] shortlist (f32, or exact int32 for
+    # integer data — query_block_distances dispatches on dtype)
     cand_rows = jnp.take(dataset, cand_i, axis=0)
     exact = query_block_distances(qf, cand_rows, metric)
     order = jnp.argsort(exact, axis=1, stable=True)[:, :k]

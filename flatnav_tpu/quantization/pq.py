@@ -297,6 +297,101 @@ def pq_beam_search(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile_size", "rerank"),
+)
+def pq_scan_knn(
+    codes: jax.Array,  # [N, S] uint8
+    tables: jax.Array,  # [B, S, nc] f32 ADC tables (pq.adc_tables)
+    k: int,
+    metric: MetricType = MetricType.L2,
+    tile_size: int = 32768,
+    rerank: int = 32,
+    n_valid: jax.Array | None = None,
+):
+    """ADC full-table scan on the MXU: the beyond-HBM-scale engine.
+
+    The per-node ADC score sum_s T[b, s, code[n, s]] is a gather in its
+    natural form — the slowest primitive on TPU (~150 ns/row measured).
+    Re-expressed as a ONE-HOT CONTRACTION it becomes a matmul the MXU
+    eats: for a tile of nodes, onehot(codes) [tile, S*nc] (built on the
+    VPU per tile, query-independent) contracts with the flattened tables
+    [B, S*nc] in one bf16 MXU pass — identical structure to fast_knn's
+    phase 1 with S*nc as the feature dimension. A hardware approx_min_k
+    shortlist per tile feeds an exact-f32 ADC rerank (one-hot in f32 on
+    the VPU — no gathers anywhere on the hot path).
+
+    vs the reference: ProductQuantization.h scores one code at a time
+    through the per-query distance table (getAsymmetricDistance,
+    ProductQuantization.h:367-385); this is that operation batched over
+    [B x N] on the MXU. Returned distances are exact-f32 ADC values
+    (+1 offset for IP, matching asymmetric_distances); recall vs raw
+    vectors is bounded by PQ quantization error as usual.
+    """
+    n, s = codes.shape
+    b, s2, nc = tables.shape
+    assert s == s2, (s, s2)
+    r = max(rerank, k)
+    n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+    tile = max(min(tile_size, n), 128)
+    n_tiles = -(-n // tile)
+    if n_tiles * tile != n:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((n_tiles * tile - n, s), codes.dtype)], axis=0
+        )
+    offset = 1.0 if metric == MetricType.IP else 0.0
+    t_flat = tables.reshape(b, s * nc)
+    cent_iota = jnp.arange(nc, dtype=jnp.int32)[None, None, :]
+
+    def scan_tile(carry, tile_idx):
+        best_key, best_i = carry
+        start = tile_idx * tile
+        rows = jax.lax.dynamic_slice_in_dim(codes, start, tile, axis=0)
+        onehot = (
+            rows.astype(jnp.int32)[:, :, None] == cent_iota
+        ).astype(jnp.bfloat16).reshape(tile, s * nc)
+        # [B, S*nc] x [tile, S*nc] -> [B, tile] on the MXU (bf16 pass)
+        key = jax.lax.dot_general(
+            t_flat.astype(jnp.bfloat16), onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        key = jnp.where(ids < n_limit, key, jnp.inf)
+        tile_key, tile_pos = jax.lax.approx_min_k(key, r)
+        tile_ids = jnp.take_along_axis(
+            jnp.broadcast_to(ids, (b, tile)), tile_pos, axis=1
+        )
+        all_key = jnp.concatenate([best_key, tile_key], axis=1)
+        all_i = jnp.concatenate([best_i, tile_ids], axis=1)
+        neg_top, pos = jax.lax.top_k(-all_key, r)
+        return (-neg_top, jnp.take_along_axis(all_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((b, r), jnp.inf, jnp.float32),
+        jnp.zeros((b, r), jnp.int32),
+    )
+    (_, cand_i), _ = jax.lax.scan(
+        scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
+    )
+    # exact-f32 ADC rerank of the [B, r] shortlist: one-hot select on the
+    # VPU (sum over where(code==c, T[b,s,c], 0)) — gather-free
+    cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
+    sel = (
+        cand_codes.astype(jnp.int32)[:, :, :, None]
+        == cent_iota[None]
+    )  # [B, r, S, nc]
+    exact = jnp.sum(
+        jnp.where(sel, tables[:, None, :, :], 0.0), axis=(2, 3)
+    ) + offset
+    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    return (
+        jnp.take_along_axis(exact, order, axis=1),
+        jnp.take_along_axis(cand_i, order, axis=1),
+    )
+
+
 def pq_search(
     pq: ProductQuantizer,
     codes: jax.Array,

@@ -326,6 +326,34 @@ class PQIndex:
             self._distance_computations += int(beam.dist_computations)
         return np.asarray(top_d), np.asarray(labels)
 
+    def search_scan(
+        self, queries, K: int, rerank: int = 32, tile_size: int = 32768
+    ):
+        """ADC full-table scan (pq.pq_scan_knn): graph-free engine scoring
+        every committed code via a one-hot MXU contraction — the
+        beyond-HBM-scale counterpart of Index.search_exact (codes are
+        S bytes/node vs d*dtype for raw vectors). Returns
+        (dists [B, K] f32 exact-ADC, labels [B, K] int32)."""
+        from flatnav_tpu.quantization.pq import pq_scan_knn
+
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        tables = self.pq.adc_tables(queries)
+        d, ids = pq_scan_knn(
+            self._codes,
+            tables,
+            K,
+            metric=self._metric,
+            tile_size=tile_size,
+            rerank=rerank,
+            n_valid=self._num_nodes,
+        )
+        labels = jnp.where(
+            jnp.isfinite(d), jnp.take(self._labels, ids, axis=0), -1
+        )
+        return np.asarray(d), np.asarray(labels)
+
     def get_query_distance_computations(self) -> int:
         total = self._distance_computations
         self._distance_computations = 0

@@ -185,3 +185,59 @@ def test_fast_knn_n_valid(rng):
         n_valid=jnp.asarray(3000),
     )
     assert (np.asarray(ids) < 3000).all()
+
+
+@pytest.mark.parametrize(
+    "dt_x,dt_y",
+    [(np.uint8, np.uint8), (np.int8, np.int8),
+     (np.uint8, np.int8), (np.int8, np.uint8)],
+)
+def test_exact_int_dot_exact(rng, dt_x, dt_y):
+    # the int8-MXU shifted path (uint8 -> int8 by -128 with exact int32
+    # corrections) must reproduce the plain integer dot bit-for-bit,
+    # including mixed-dtype pairs; reference precedent for the unpack
+    # trick: SquaredL2SimdExtensions.h:32-76
+    from flatnav_tpu.ops.distances import exact_int_dot
+
+    for d in (7, 128, 960):
+        x = rng.integers(
+            np.iinfo(dt_x).min, np.iinfo(dt_x).max + 1, (11, d)
+        ).astype(dt_x)
+        y = rng.integers(
+            np.iinfo(dt_y).min, np.iinfo(dt_y).max + 1, (23, d)
+        ).astype(dt_y)
+        got = np.asarray(exact_int_dot(jnp.asarray(x), jnp.asarray(y)))
+        want = x.astype(np.int64) @ y.astype(np.int64).T
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.int8])
+def test_fast_knn_integer_path(rng, dtype):
+    # integer fast_knn: int8-MXU phase-1 key is EXACT, so with rerank >= k
+    # the result must match brute_force_knn wherever approx_min_k kept the
+    # true neighbors; assert high recall and exact distances for the ids
+    from flatnav_tpu.ops.distances import fast_knn
+
+    info = np.iinfo(dtype)
+    n, d, k = 6000, 64, 10
+    data = rng.integers(info.min, info.max + 1, (n, d)).astype(dtype)
+    q = rng.integers(info.min, info.max + 1, (16, d)).astype(dtype)
+    gd, gi = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(q), k, MetricType.L2
+    )
+    fd, fi = fast_knn(
+        jnp.asarray(data), jnp.asarray(q), k, MetricType.L2,
+        tile_size=2048, rerank=32,
+    )
+    recall = np.mean([
+        len(set(a.tolist()) & set(b_.tolist())) / k
+        for a, b_ in zip(np.asarray(fi), np.asarray(gi))
+    ])
+    assert recall >= 0.95, recall
+    # returned distances are the exact int32-accumulated values
+    want = query_block_distances(
+        jnp.asarray(q), jnp.take(jnp.asarray(data), fi, axis=0),
+        MetricType.L2,
+    )
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(want))

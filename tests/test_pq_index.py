@@ -142,3 +142,61 @@ def test_pq_back_edges_never_decode_full_table():
         f"(table-scale decode = {table_scale})"
     )
     assert worst <= 4 * budget  # touched-rows scratch, small constant slack
+
+
+def test_pq_scan_knn_matches_bruteforce_adc(clustered_data):
+    # the one-hot MXU contraction must reproduce the gather-form ADC
+    # scores exactly at f32 rerank (phase-1 bf16 only selects; the
+    # shortlist is re-scored in f32), so with rerank == n the result must
+    # equal a full argsort of asymmetric_distances
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq import pq_scan_knn
+
+    data, queries = clustered_data
+    data, queries = data[:1500], queries[:16]
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:1000], n_iters=15
+    )
+    codes = pq.encode(data)
+    tables = pq.adc_tables(queries)
+    d, ids = pq_scan_knn(
+        jnp.asarray(codes), tables, 10, metric=MetricType.L2,
+        tile_size=512, rerank=64,
+    )
+    brute = np.asarray(pq.asymmetric_distances(queries, codes))
+    want_ids = np.argsort(brute, axis=1, kind="stable")[:, :10]
+    want_d = np.take_along_axis(brute, want_ids, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(d), want_d, rtol=1e-5, atol=1e-4
+    )
+    # id sets match up to fp ties: compare via distance values
+    got_d_of_ids = np.take_along_axis(brute, np.asarray(ids), axis=1)
+    np.testing.assert_allclose(got_d_of_ids, want_d, rtol=1e-5, atol=1e-4)
+
+
+def test_pq_index_search_scan(clustered_data):
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops import brute_force_knn
+
+    data, queries = clustered_data
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:2000], n_iters=25
+    )
+    index = PQIndex(pq, dataset_size=len(data), max_edges_per_node=16)
+    index.add(data, ef_construction=64)
+    _, gt = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(queries), 10, MetricType.L2
+    )
+    d, labels = index.search_scan(queries, K=10, rerank=64)
+    r = _recall(labels, np.asarray(gt))
+    # the scan ranks EVERY node by exact-f32 ADC, so its recall IS the
+    # quantization ceiling (same yardstick as the e2e graph test above):
+    # recall of the global brute-force ADC ranking, up to fp ties
+    codes = pq.encode(data)
+    adc = np.asarray(pq.asymmetric_distances(queries, codes))
+    ceiling_top = np.argsort(adc, axis=1)[:, :10]
+    ceiling = _recall(ceiling_top, np.asarray(gt))
+    assert r >= 0.95 * ceiling, (r, ceiling)
+    assert np.all(np.diff(d, axis=1) >= 0)

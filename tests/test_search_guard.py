@@ -1,0 +1,116 @@
+"""Device-memory guard for batched_search (round-2 crash fix).
+
+Round 2 found that graph search at ef=2048/B=4096 on a 10M-row index
+reproducibly kernel-faulted the TPU worker (the runtime dies instead of
+raising when the hop working set overflows HBM). batched_search now
+estimates the working set at trace time and (a) transparently chunks the
+query batch — bit-identical results, queries are independent — or (b)
+raises a Python ValueError when even one query cannot fit.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from flatnav_tpu.index.search import (
+    batched_search,
+    safe_query_batch,
+    _search_temp_bytes,
+)
+from flatnav_tpu.ops import MetricType
+
+
+def _toy_graph(n=512, d=16, m=8, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    links = rng.integers(0, n, (n + 1, m)).astype(np.int32)
+    labels = np.arange(n, dtype=np.int32)
+    return jnp.asarray(vecs), jnp.asarray(links), jnp.asarray(labels)
+
+
+def test_no_limit_passthrough(monkeypatch):
+    monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
+    # CPU backend: no limit known -> batch unchanged
+    assert safe_query_batch(4096, 128, m=32, d=128) == 4096
+
+
+def test_limit_zero_disables(monkeypatch):
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "0")
+    assert safe_query_batch(4096, 2048, m=32, d=128) == 4096
+
+
+def test_subbatch_shrinks_with_limit(monkeypatch):
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "16e9")
+    full = safe_query_batch(
+        4096, 128, m=32, d=128, expand_factor=64,
+        table_rows=10_000_000, table_bytes=2_560_000_000,
+    )
+    big_ef = safe_query_batch(
+        4096, 2048, m=32, d=128, expand_factor=64,
+        table_rows=10_000_000, table_bytes=2_560_000_000,
+    )
+    # the headline config is untouched; the crash config gets chunked
+    assert full == 4096
+    assert big_ef < 4096
+    assert big_ef >= 1
+
+
+def test_impossible_config_raises(monkeypatch):
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "1e6")
+    with pytest.raises(ValueError, match="cannot fit"):
+        safe_query_batch(
+            4096, 4096, m=32, d=1024, expand_factor=64,
+            table_rows=10_000_000, table_bytes=0,
+        )
+
+
+def test_estimate_monotone():
+    a = _search_temp_bytes(4096, 1024, 2048, 128, 0, 10_000_000)
+    b = _search_temp_bytes(4096, 2048, 2048, 128, 0, 10_000_000)
+    assert b > a
+    # halving the batch halves the estimate
+    c = _search_temp_bytes(2048, 2048, 2048, 128, 0, 10_000_000)
+    assert abs(c * 2 - b) <= 8
+
+
+def test_chunked_results_bit_identical(monkeypatch):
+    vecs, links, labels = _toy_graph()
+    q = jnp.asarray(
+        np.random.default_rng(1).standard_normal((64, 16)).astype(np.float32)
+    )
+    n_nodes = jnp.asarray(512, jnp.int32)
+
+    monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
+    batched_search.clear_cache()
+    full = batched_search(
+        vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2
+    )
+
+    # pick a limit that forces chunking (temp estimate ~2.5 KB/query here)
+    limit = int(
+        vecs.size * 4 + links.size * 4 + labels.size * 4
+        + _search_temp_bytes(16, 32, 8, 16, 0, 512) / 0.85 * 1.01
+    )
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", str(limit))
+    # env takes priority even off-TPU; force re-trace so the guard reruns
+    batched_search.clear_cache()
+    sub = safe_query_batch(
+        64, 32, m=8, d=16,
+        table_rows=512,
+        table_bytes=vecs.size * 4 + links.size * 4 + labels.size * 4,
+    )
+    assert 1 <= sub < 64
+    chunked = batched_search(
+        vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2
+    )
+    batched_search.clear_cache()
+
+    np.testing.assert_array_equal(
+        np.asarray(full.labels), np.asarray(chunked.labels)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.dists), np.asarray(chunked.dists)
+    )
+    # counters aggregate to the same totals
+    assert int(full.dist_computations) == int(chunked.dist_computations)
+    assert int(full.hops) == int(chunked.hops)
