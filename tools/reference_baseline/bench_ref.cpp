@@ -21,6 +21,7 @@
 
 #include <flatnav/index/Index.h>
 #include <flatnav/distances/SquaredL2Distance.h>
+#include <flatnav/distances/InnerProductDistance.h>
 
 #include <algorithm>
 #include <chrono>
@@ -33,6 +34,7 @@
 
 using flatnav::Index;
 using flatnav::distances::SquaredL2Distance;
+using flatnav::distances::InnerProductDistance;
 
 static std::vector<char> read_file(const char* path, size_t expect) {
   FILE* f = fopen(path, "rb");
@@ -47,7 +49,7 @@ static std::vector<char> read_file(const char* path, size_t expect) {
   return buf;
 }
 
-template <flatnav::util::DataType DT, typename ctype>
+template <typename DistT, typename ctype>
 static int run(char** argv, int N, int NQ, int DIM, double TARGET, int M,
                int EFC, int K) {
   auto data_buf = read_file(argv[1], (size_t)N * DIM * sizeof(ctype));
@@ -57,8 +59,8 @@ static int run(char** argv, int N, int NQ, int DIM, double TARGET, int M,
   const ctype* queries = reinterpret_cast<const ctype*>(query_buf.data());
   const int* gt = reinterpret_cast<const int*>(gt_buf.data());
 
-  auto distance = SquaredL2Distance<DT>::create(DIM);
-  auto index = new Index<SquaredL2Distance<DT>, int>(std::move(distance), N, M);
+  auto distance = DistT::create(DIM);
+  auto index = new Index<DistT, int>(std::move(distance), N, M);
   index->setNumThreads(1);
 
   std::vector<int> labels(N);
@@ -120,7 +122,7 @@ int main(int argc, char** argv) {
   if (argc < 8) {
     fprintf(stderr,
             "usage: %s data queries gt.i32 N NQ DIM TARGET "
-            "[M=32] [EFC=100] [K=10] [DTYPE=float32|uint8]\n",
+            "[M=32] [EFC=100] [K=10] [DTYPE=float32|uint8] [METRIC=l2|ip]\n",
             argv[0]);
     return 2;
   }
@@ -132,11 +134,18 @@ int main(int argc, char** argv) {
   const int EFC = argc > 9 ? atoi(argv[9]) : 100;
   const int K = argc > 10 ? atoi(argv[10]) : 10;
   const std::string dtype = argc > 11 ? argv[11] : "float32";
+  const std::string metric = argc > 12 ? argv[12] : "l2";
 
   if (dtype == "uint8") {
-    return run<flatnav::util::DataType::uint8, uint8_t>(
+    if (metric == "ip")
+      return run<InnerProductDistance<flatnav::util::DataType::uint8>,
+                 uint8_t>(argv, N, NQ, DIM, TARGET, M, EFC, K);
+    return run<SquaredL2Distance<flatnav::util::DataType::uint8>, uint8_t>(
         argv, N, NQ, DIM, TARGET, M, EFC, K);
   }
-  return run<flatnav::util::DataType::float32, float>(
+  if (metric == "ip")
+    return run<InnerProductDistance<flatnav::util::DataType::float32>,
+               float>(argv, N, NQ, DIM, TARGET, M, EFC, K);
+  return run<SquaredL2Distance<flatnav::util::DataType::float32>, float>(
       argv, N, NQ, DIM, TARGET, M, EFC, K);
 }
