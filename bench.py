@@ -58,17 +58,18 @@ import numpy as np
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache()
-
 import jax  # noqa: E402
 
 # sitecustomize.py sets jax_platforms programmatically, so the JAX_PLATFORMS
-# env var alone is ignored; honor it explicitly (CPU smoke-testing of this
-# script; the driver's real run leaves it unset -> TPU).
+# env var alone is ignored; honor it explicitly BEFORE anything can
+# initialize a backend (CPU smoke-testing of this script; the driver's
+# real run leaves it unset -> TPU).
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -155,7 +156,7 @@ def _save_sweep_cache(key, candidates, fast_recall):
     with open(os.path.join(_CACHE_DIR, f"sweep_{key}.json"), "w") as f:
         json.dump(
             {
-                "candidates": [list(c[:3]) for c in candidates],
+                "candidates": [list(c[:4]) for c in candidates],
                 "fast_recall": fast_recall,
             },
             f,
@@ -238,6 +239,7 @@ def _time_only(args):
                     ef=args.ef_search, metric=metric,
                     expand_factor=args.expand_factor,
                     compact_width=args.compact_width,
+                    m_search=args.m_search,
                 )
                 for lo in range(0, nq, args.batch)
             ]  # async dispatch pipelines chunks through the device
@@ -284,11 +286,14 @@ def main():
     ap.add_argument("--queries-file", default="/tmp/bench_queries.npy")
     ap.add_argument("--ef-search", type=int, default=128)
     ap.add_argument("--compact-width", type=int, default=0)
+    ap.add_argument("--m-search", type=int, default=0)
     args = ap.parse_args()
 
     if args.time_only:
         _time_only(args)
         return
+
+    _log(f"devices: {jax.devices()}")
 
     rng = np.random.default_rng(0x5EED)
     np_dtype = {"float32": np.float32, "uint8": np.uint8,
@@ -352,7 +357,7 @@ def main():
 
     q_dev = jnp.asarray(queries)
 
-    def run(ef: int, expand: int, cw: int = 0):
+    def run(ef: int, expand: int, cw: int = 0, ms: int = 0):
         outs, outs_d = [], []
         for lo in range(0, args.num_queries, args.batch):
             res = batched_search(
@@ -366,6 +371,7 @@ def main():
                 metric=MetricType.L2,
                 expand_factor=expand,
                 compact_width=cw,
+                m_search=ms,
             )
             outs.append(res.labels)
             outs_d.append(res.dists)
@@ -386,14 +392,16 @@ def main():
         # sweep search is skipped, every reported number is fresh); if
         # search semantics changed and none qualify, fall through to the
         # full sweep below
-        for ef, expand, cw in cache["candidates"]:
-            found, found_d = run(ef, expand, cw)
+        for cand in cache["candidates"]:
+            ef, expand, cw = cand[:3]
+            ms = cand[3] if len(cand) > 3 else 0
+            found, found_d = run(ef, expand, cw, ms)
             r = _recall(found, gt)
             rd = _recall_dist(found_d, gt_dn)
-            _log(f"cached op point E={expand} ef={ef} cw={cw}: "
+            _log(f"cached op point E={expand} ef={ef} cw={cw} ms={ms}: "
                  f"recall={r:.4f}")
             if r >= args.target_recall:
-                candidates.append((ef, expand, cw, r, rd))
+                candidates.append((ef, expand, cw, ms, r, rd))
         if not candidates:
             _log("cached operating points no longer meet the target; "
                  "re-sweeping")
@@ -409,10 +417,10 @@ def main():
                      f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
                      f"compile)")
                 if r >= args.target_recall:
-                    candidates.append((ef, expand, cw, r, rd))
+                    candidates.append((ef, expand, cw, 0, r, rd))
                     break
         if not candidates:
-            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, r, rd)]
+            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, 0, r, rd)]
         _save_sweep_cache(key, candidates, None)
 
     # Steady-state timing. The tunnel's throughput phase is sticky PER
@@ -426,7 +434,7 @@ def main():
     save_index("/tmp/bench_index.npz", g, MetricType.L2)
     np.save("/tmp/bench_queries.npy", queries)
 
-    def measure(engine, ef, expand, cw=0):
+    def measure(engine, ef, expand, cw=0, ms=0):
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
@@ -450,7 +458,7 @@ def main():
                         g.vectors, g.links, g.labels, g.num_nodes,
                         q_dev[lo : lo + args.batch], k=args.k, ef=ef,
                         metric=MetricType.L2, expand_factor=expand,
-                        compact_width=cw,
+                        compact_width=cw, m_search=ms,
                     )
                     for lo in range(0, args.num_queries, args.batch)
                 ]  # async dispatch pipelines chunks through the device
@@ -458,7 +466,8 @@ def main():
                     np.asarray(res.labels)
             times.append(time.time() - t0)
         qps_c = args.num_queries / min(times)
-        _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw}: "
+        _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw} "
+             f"ms={ms}: "
              f"{qps_c:.0f} qps")
         for attempt in range(args.retime_procs):
             if time.time() - _T_START > args.budget - 150:
@@ -470,7 +479,7 @@ def main():
                  "--index", "/tmp/bench_index.npz",
                  "--queries-file", "/tmp/bench_queries.npy",
                  "--ef-search", str(ef), "--expand-factor", str(expand),
-                 "--compact-width", str(cw),
+                 "--compact-width", str(cw), "--m-search", str(ms),
                  "--batch", str(args.batch), "--k", str(args.k),
                  "--repeats", str(args.repeats)],
                 capture_output=True, text=True, timeout=1800,
@@ -487,12 +496,12 @@ def main():
             qps_c = max(qps_c, qps_sub)
         return qps_c
 
-    best = None  # graph engine: (qps, ef, E, cw, recall, recall_dist)
-    for ef, expand, cw, r, rd in candidates:
-        qps_c = measure("graph", ef, expand, cw)
+    best = None  # graph: (qps, ef, E, cw, ms, recall, recall_dist)
+    for ef, expand, cw, ms, r, rd in candidates:
+        qps_c = measure("graph", ef, expand, cw, ms)
         if best is None or qps_c > best[0]:
-            best = (qps_c, ef, expand, cw, r, rd)
-    (graph_qps, chosen_ef, chosen_e, chosen_cw, graph_recall,
+            best = (qps_c, ef, expand, cw, ms, r, rd)
+    (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms, graph_recall,
      graph_recall_d) = best
 
     # exact engine (recall 1.0 by construction — verified once here)
@@ -560,6 +569,7 @@ def main():
                 "ef_search": chosen_ef,
                 "expand_factor": chosen_e,
                 "compact_width": chosen_cw,
+                "m_search": chosen_ms,
                 "build_seconds": round(build_s, 1),
                 "build_cached": build_cached,
                 "baseline_qps": ref_qps,

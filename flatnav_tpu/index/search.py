@@ -151,7 +151,10 @@ ENTRY_IMPL = "matmul"
 #:     the exact int32 path); falls back to "take" off-TPU.
 SCORE_IMPL = "take"
 
-_INT_SENTINEL = jnp.int32(2**31 - 1)
+# plain Python int, NOT jnp.int32(...): a module-level device array would
+# initialize the JAX backend at import time, locking the platform before
+# callers can override it (jax.config.update("jax_platforms", ...))
+_INT_SENTINEL = 2**31 - 1
 
 
 # ---------------------------------------------------------------------------
@@ -609,7 +612,7 @@ def beam_search_core(
     jax.jit,
     static_argnames=(
         "ef", "metric", "num_initializations", "max_hops",
-        "expand_factor", "compact_width",
+        "expand_factor", "compact_width", "m_search",
     ),
 )
 def beam_search(
@@ -624,6 +627,7 @@ def beam_search(
     max_hops: int = 0,
     expand_factor: int = 1,
     compact_width: int = 0,
+    m_search: int = 0,
 ) -> BeamResults:
     """Batched beam search over raw stored vectors; returns the full
     ef-wide beam per query.
@@ -632,7 +636,17 @@ def beam_search(
     links:   [cap(+pad)+1, M] int32 (self-loop convention, scratch last row)
     num_nodes: scalar int32, committed prefix length
     queries: [B, d]
+
+    `m_search` (0 = all): use only the first m_search links per node at
+    query time. connectNeighbors commits selectNeighbors' output, which
+    is distance-sorted (Index.h:714-763, 765-834), so the link-list
+    prefix holds the closest/most-diverse neighbors — a degree-M' view
+    of the degree-M graph. The hot gather is row-ISSUE-RATE-bound
+    (~150 ns/row measured), so halving the expanded links nearly halves
+    hop cost; recall cost is measured by the benchmark sweep like ef.
     """
+    if m_search and m_search < links.shape[1]:
+        links = links[:, :m_search]
     # integer queries against an integer table keep their dtype so the
     # distance kernel's exact int32 accumulation applies (reference
     # precedent SquaredL2SimdExtensions.h:32-76); everything else runs f32
@@ -685,7 +699,7 @@ def beam_search(
     jax.jit,
     static_argnames=(
         "k", "ef", "metric", "num_initializations", "max_hops",
-        "expand_factor", "compact_width",
+        "expand_factor", "compact_width", "m_search",
     ),
 )
 def batched_search(
@@ -702,6 +716,7 @@ def batched_search(
     max_hops: int = 0,
     expand_factor: int = 1,
     compact_width: int = 0,
+    m_search: int = 0,
 ) -> SearchResults:
     """Top-K search: Index::search (Index.h:387-409) over a query batch.
 
@@ -719,6 +734,10 @@ def batched_search(
     """
     b = queries.shape[0]
     ef_c = max(ef, k)
+    m_eff = (
+        m_search if m_search and m_search < links.shape[1]
+        else links.shape[1]
+    )
     table_bytes = (
         vectors.size * vectors.dtype.itemsize
         + links.size * 4
@@ -727,7 +746,7 @@ def batched_search(
     sub = safe_query_batch(
         b,
         ef_c,
-        m=links.shape[1],
+        m=m_eff,
         d=vectors.shape[1],
         expand_factor=expand_factor,
         compact_width=compact_width,
@@ -747,6 +766,7 @@ def batched_search(
             max_hops=max_hops,
             expand_factor=expand_factor,
             compact_width=compact_width,
+            m_search=m_search,
         )
         top_d = beam.dists[:, :k]
         top_i = beam.ids[:, :k]

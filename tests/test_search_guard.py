@@ -114,3 +114,31 @@ def test_chunked_results_bit_identical(monkeypatch):
     # counters aggregate to the same totals
     assert int(full.dist_computations) == int(chunked.dist_computations)
     assert int(full.hops) == int(chunked.hops)
+
+
+def test_m_search_prefix_degree(monkeypatch):
+    monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
+    vecs, links, labels = _toy_graph()
+    q = jnp.asarray(
+        np.random.default_rng(2).standard_normal((32, 16)).astype(np.float32)
+    )
+    n_nodes = jnp.asarray(512, jnp.int32)
+    full = batched_search(
+        vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2
+    )
+    same = batched_search(
+        vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2,
+        m_search=links.shape[1],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.labels), np.asarray(same.labels)
+    )
+    half = batched_search(
+        vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2,
+        m_search=4,
+    )
+    hd = np.asarray(half.dists)
+    assert np.isfinite(hd).all()
+    assert (np.diff(hd, axis=1) >= 0).all()
+    # fewer links expanded -> no more distance computations than full
+    assert int(half.dist_computations) <= int(full.dist_computations)
