@@ -1,6 +1,6 @@
 # Developer entry points (parity with /root/reference/Makefile:1-27).
 
-.PHONY: all test test-fast bench native baseline clean format
+.PHONY: all test test-fast bench native baseline clean format docs figures
 
 all: native
 
@@ -19,6 +19,14 @@ bench:
 # reference C++ single-core baseline -> baseline_ref.json
 baseline:
 	bash tools/reference_baseline/build_baseline.sh
+
+# regenerate docs/api_reference.md from docstrings (CI checks staleness)
+docs:
+	python docs/generate_api_docs.py
+
+# paper-figure plots from recorded benchmarks/results_*.json
+figures:
+	python benchmarks/plot_figures.py
 
 format:
 	@command -v ruff >/dev/null && ruff format flatnav_tpu tests tools || \
