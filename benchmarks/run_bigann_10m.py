@@ -26,6 +26,11 @@ import numpy as np
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
@@ -128,8 +133,57 @@ def main():
             for lo in range(0, NQ, BATCH)
         ])
 
-    exact = time_engine(run_exact, "exact engine")
-    fast = time_engine(run_fast, "fast engine")
+    exact = fast = None
+    if "--pq-only" not in sys.argv:
+        exact = time_engine(run_exact, "exact engine")
+        fast = time_engine(run_fast, "fast engine")
+
+    # ---- PQ-ADC scan engine (the beyond-HBM-scale configuration, VERDICT
+    # r02 item 6): train on a 500k sample, encode all 10M (16 bytes/node
+    # vs 128 raw), then the one-hot MXU contraction scan + exact-f32 ADC
+    # rerank. Recall here is bounded by PQ quantization error — recorded
+    # against the raw-vector ground truth like every other engine.
+    pq_point = None
+    if "--no-pq" not in sys.argv:
+        from flatnav_tpu.quantization import ProductQuantizer
+        from flatnav_tpu.quantization.pq import pq_scan_knn
+
+        t0 = time.time()
+        pq = ProductQuantizer(dim=D, num_subquantizers=16).train(
+            data[:500_000].astype(np.float32), n_iters=25
+        )
+        codes_path = f"/tmp/10m_codes_{N}_{D}_16.npy"
+        if os.path.exists(codes_path) and "--rebuild" not in sys.argv:
+            codes = np.load(codes_path)
+        else:
+            codes = np.concatenate([
+                np.asarray(pq.encode(data[lo : lo + chunk].astype(
+                    np.float32)))
+                for lo in range(0, N, chunk)
+            ])
+            np.save(codes_path, codes)
+        pq_prep_s = time.time() - t0
+        log(f"PQ train+encode: {pq_prep_s:.1f}s "
+            f"({codes.nbytes/1e9:.2f} GB codes vs "
+            f"{data.nbytes/1e9:.2f} GB raw)")
+        codes_dev = jnp.asarray(codes)
+
+        def run_pq():
+            outs = []
+            for lo in range(0, NQ, BATCH):
+                tables = pq.adc_tables(
+                    queries[lo : lo + BATCH].astype(np.float32)
+                )
+                _, ids = pq_scan_knn(
+                    codes_dev, tables, K, metric=MetricType.L2,
+                    tile_size=131072, rerank=32,
+                )
+                outs.append(np.asarray(ids))
+            return np.concatenate(outs, 0)
+
+        pq_point = time_engine(run_pq, "pq-scan engine")
+        pq_point["prep_seconds"] = round(pq_prep_s, 1)
+        pq_point["code_bytes_per_node"] = 16
 
     def run_graph(ef, expand):
         outs = []
@@ -144,12 +198,18 @@ def main():
 
     rows = []
     chosen = None
-    # ef capped at 1024: ef=2048 at this scale reproducibly crashed the
-    # TPU worker (kernel fault at hop_cap=270 / [B, 512, 4320] membership
-    # shapes); the graph engine is nowhere near the 0.95 target here
-    # anyway (see note below)
+    # ef=2048 at this scale reproducibly crashed the TPU worker in round
+    # 2; batched_search now estimates the hop working set and chunks the
+    # query batch automatically (flatnav_tpu/index/search.py
+    # safe_query_batch), so the sweep can include it again — the graph
+    # engine is nowhere near the 0.95 target on this workload anyway
+    # (see results note / run_ab_uint8.py diagnosis)
+    if "--pq-only" in sys.argv:
+        ef_grid = ()
+    else:
+        ef_grid = (256, 512, 1024, 2048)
     for expand in (16,):
-        for ef in (256, 512, 1024):
+        for ef in ef_grid:
             t0 = time.time()
             r = recall(run_graph(ef, expand))
             log(f"E={expand} ef={ef}: recall={r:.4f} "
@@ -186,18 +246,26 @@ def main():
             else:
                 log(f"baseline failed: {out.stderr[-300:]}")
 
-    result = {
+    path = os.path.join(_REPO, "benchmarks/results_bigann_10m.json")
+    result = {}
+    if os.path.exists(path):  # merge partial (--pq-only) runs
+        with open(path) as f:
+            result = json.load(f)
+    result.update({
         "workload": f"clustered uint8 {N}x{D} L2 M={M} efc={EFC} k={K}",
         "note": "BigANN-10M-class stand-in (no egress; synthetic clustered "
                 "uint8). All engines use exact integer distances.",
         "build_seconds": round(build_s, 1),
-        "exact_engine": exact,
-        "fast_engine": fast,
-        "graph_operating_point": chosen,
-        "sweep": rows,
-        "reference_single_core": ref,
-    }
-    path = os.path.join(_REPO, "benchmarks/results_bigann_10m.json")
+    })
+    for key, val in (
+        ("exact_engine", exact), ("fast_engine", fast),
+        ("pq_scan_engine", pq_point), ("reference_single_core", ref),
+    ):
+        if val is not None:
+            result[key] = val
+    if rows:
+        result["graph_operating_point"] = chosen
+        result["sweep"] = rows
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
