@@ -469,21 +469,38 @@ def main():
         _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw} "
              f"ms={ms}: "
              f"{qps_c:.0f} qps")
+        return qps_c
+
+    def retime(engine, ef, expand, cw, ms, qps_c):
+        """Re-time one config in fresh subprocesses (the tunnel's
+        throughput phase is sticky per process; a fresh process redraws
+        it). Only the WINNING config is retimed — per-candidate retimes
+        proved the budget risk in rounds 2-3: a subprocess landing in a
+        pathological phase can take 10x its device work. Each subprocess
+        gets a remaining-budget-capped timeout; on timeout the in-process
+        number stands."""
         for attempt in range(args.retime_procs):
-            if time.time() - _T_START > args.budget - 150:
+            remaining = args.budget - (time.time() - _T_START)
+            sub_timeout = min(600.0, remaining - 60)
+            if sub_timeout < 90:
                 _log("budget nearly exhausted; skipping remaining retimes")
                 break
-            sub = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--time-only",
-                 "--engine", engine,
-                 "--index", "/tmp/bench_index.npz",
-                 "--queries-file", "/tmp/bench_queries.npy",
-                 "--ef-search", str(ef), "--expand-factor", str(expand),
-                 "--compact-width", str(cw), "--m-search", str(ms),
-                 "--batch", str(args.batch), "--k", str(args.k),
-                 "--repeats", str(args.repeats)],
-                capture_output=True, text=True, timeout=1800,
-            )
+            try:
+                sub = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--time-only", "--engine", engine,
+                     "--index", "/tmp/bench_index.npz",
+                     "--queries-file", "/tmp/bench_queries.npy",
+                     "--ef-search", str(ef), "--expand-factor", str(expand),
+                     "--compact-width", str(cw), "--m-search", str(ms),
+                     "--batch", str(args.batch), "--k", str(args.k),
+                     "--repeats", "2"],
+                    capture_output=True, text=True, timeout=sub_timeout,
+                )
+            except subprocess.TimeoutExpired:
+                _log(f"retime #{attempt} timed out ({sub_timeout:.0f}s); "
+                     "keeping in-process number")
+                continue
             try:
                 qps_sub = float(
                     json.loads(sub.stdout.strip().splitlines()[-1])["qps"]
@@ -536,6 +553,18 @@ def main():
     engine, qps, recall, recall_d = max(
         engine_points, key=lambda p: p[1]
     )
+
+    # one fresh-process confirmation retime of the winning config only
+    if engine == "graph":
+        qps = retime("graph", chosen_ef, chosen_e, chosen_cw, chosen_ms,
+                     qps)
+        graph_qps = qps
+    else:
+        qps = retime(engine, 0, 0, 0, 0, qps)
+        if engine == "exact":
+            exact_qps = qps
+        else:
+            fast_qps = qps
 
     if args.no_baseline or args.dtype != "float32":
         ref_qps, ref_measured, ref = _FALLBACK_REF_QPS, False, {}
