@@ -156,7 +156,7 @@ def _save_sweep_cache(key, candidates, fast_recall):
     with open(os.path.join(_CACHE_DIR, f"sweep_{key}.json"), "w") as f:
         json.dump(
             {
-                "candidates": [list(c[:4]) for c in candidates],
+                "candidates": [list(c[:5]) for c in candidates],
                 "fast_recall": fast_recall,
             },
             f,
@@ -240,6 +240,7 @@ def _time_only(args):
                     expand_factor=args.expand_factor,
                     compact_width=args.compact_width,
                     m_search=args.m_search,
+                    num_initializations=args.num_init,
                 )
                 for lo in range(0, nq, args.batch)
             ]  # async dispatch pipelines chunks through the device
@@ -287,6 +288,7 @@ def main():
     ap.add_argument("--ef-search", type=int, default=128)
     ap.add_argument("--compact-width", type=int, default=0)
     ap.add_argument("--m-search", type=int, default=0)
+    ap.add_argument("--num-init", type=int, default=100)
     args = ap.parse_args()
 
     if args.time_only:
@@ -357,7 +359,7 @@ def main():
 
     q_dev = jnp.asarray(queries)
 
-    def run(ef: int, expand: int, cw: int = 0, ms: int = 0):
+    def run(ef: int, expand: int, cw: int = 0, ms: int = 0, ni: int = 100):
         outs, outs_d = [], []
         for lo in range(0, args.num_queries, args.batch):
             res = batched_search(
@@ -372,6 +374,7 @@ def main():
                 expand_factor=expand,
                 compact_width=cw,
                 m_search=ms,
+                num_initializations=ni,
             )
             outs.append(res.labels)
             outs_d.append(res.dists)
@@ -395,13 +398,14 @@ def main():
         for cand in cache["candidates"]:
             ef, expand, cw = cand[:3]
             ms = cand[3] if len(cand) > 3 else 0
-            found, found_d = run(ef, expand, cw, ms)
+            ni = cand[4] if len(cand) > 4 else 100
+            found, found_d = run(ef, expand, cw, ms, ni)
             r = _recall(found, gt)
             rd = _recall_dist(found_d, gt_dn)
-            _log(f"cached op point E={expand} ef={ef} cw={cw} ms={ms}: "
-                 f"recall={r:.4f}")
+            _log(f"cached op point E={expand} ef={ef} cw={cw} ms={ms} "
+                 f"ni={ni}: recall={r:.4f}")
             if r >= args.target_recall:
-                candidates.append((ef, expand, cw, ms, r, rd))
+                candidates.append((ef, expand, cw, ms, ni, r, rd))
         if not candidates:
             _log("cached operating points no longer meet the target; "
                  "re-sweeping")
@@ -417,10 +421,10 @@ def main():
                      f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
                      f"compile)")
                 if r >= args.target_recall:
-                    candidates.append((ef, expand, cw, 0, r, rd))
+                    candidates.append((ef, expand, cw, 0, 100, r, rd))
                     break
         if not candidates:
-            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, 0, r, rd)]
+            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, 0, 100, r, rd)]
         _save_sweep_cache(key, candidates, None)
 
     # Steady-state timing. The tunnel's throughput phase is sticky PER
@@ -434,7 +438,7 @@ def main():
     save_index("/tmp/bench_index.npz", g, MetricType.L2)
     np.save("/tmp/bench_queries.npy", queries)
 
-    def measure(engine, ef, expand, cw=0, ms=0):
+    def measure(engine, ef, expand, cw=0, ms=0, ni=100):
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
@@ -459,6 +463,7 @@ def main():
                         q_dev[lo : lo + args.batch], k=args.k, ef=ef,
                         metric=MetricType.L2, expand_factor=expand,
                         compact_width=cw, m_search=ms,
+                        num_initializations=ni,
                     )
                     for lo in range(0, args.num_queries, args.batch)
                 ]  # async dispatch pipelines chunks through the device
@@ -467,11 +472,11 @@ def main():
             times.append(time.time() - t0)
         qps_c = args.num_queries / min(times)
         _log(f"in-process timing {engine} E={expand} ef={ef} cw={cw} "
-             f"ms={ms}: "
+             f"ms={ms} ni={ni}: "
              f"{qps_c:.0f} qps")
         return qps_c
 
-    def retime(engine, ef, expand, cw, ms, qps_c):
+    def retime(engine, ef, expand, cw, ms, qps_c, ni=100):
         """Re-time one config in fresh subprocesses (the tunnel's
         throughput phase is sticky per process; a fresh process redraws
         it). Only the WINNING config is retimed — per-candidate retimes
@@ -493,6 +498,7 @@ def main():
                      "--queries-file", "/tmp/bench_queries.npy",
                      "--ef-search", str(ef), "--expand-factor", str(expand),
                      "--compact-width", str(cw), "--m-search", str(ms),
+                     "--num-init", str(ni),
                      "--batch", str(args.batch), "--k", str(args.k),
                      "--repeats", "2"],
                     capture_output=True, text=True, timeout=sub_timeout,
@@ -513,13 +519,13 @@ def main():
             qps_c = max(qps_c, qps_sub)
         return qps_c
 
-    best = None  # graph: (qps, ef, E, cw, ms, recall, recall_dist)
-    for ef, expand, cw, ms, r, rd in candidates:
-        qps_c = measure("graph", ef, expand, cw, ms)
+    best = None  # graph: (qps, ef, E, cw, ms, ni, recall, recall_dist)
+    for ef, expand, cw, ms, ni, r, rd in candidates:
+        qps_c = measure("graph", ef, expand, cw, ms, ni)
         if best is None or qps_c > best[0]:
-            best = (qps_c, ef, expand, cw, ms, r, rd)
-    (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms, graph_recall,
-     graph_recall_d) = best
+            best = (qps_c, ef, expand, cw, ms, ni, r, rd)
+    (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms, chosen_ni,
+     graph_recall, graph_recall_d) = best
 
     # exact engine (recall 1.0 by construction — verified once here)
     ex_d, ex_i = brute_force_knn(
@@ -557,7 +563,7 @@ def main():
     # one fresh-process confirmation retime of the winning config only
     if engine == "graph":
         qps = retime("graph", chosen_ef, chosen_e, chosen_cw, chosen_ms,
-                     qps)
+                     qps, chosen_ni)
         graph_qps = qps
     else:
         qps = retime(engine, 0, 0, 0, 0, qps)
@@ -599,6 +605,7 @@ def main():
                 "expand_factor": chosen_e,
                 "compact_width": chosen_cw,
                 "m_search": chosen_ms,
+                "num_init": chosen_ni,
                 "build_seconds": round(build_s, 1),
                 "build_cached": build_cached,
                 "baseline_qps": ref_qps,

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--apply", action="store_true",
                     help="write the winners into .bench_cache/sweep_*.json")
     ap.add_argument("--top", type=int, default=3)
+    ap.add_argument("--entry", action="store_true",
+                    help="num_initializations-focused grid")
+    ap.add_argument("--quick", action="store_true",
+                    help="targeted ~10-point grid (each new shape pays a "
+                    "1-3 min remote compile; the full grid is ~90)")
     args = ap.parse_args()
 
     data, queries = clustered(N, D, NQ)
@@ -80,13 +85,14 @@ def main():
     )
     q_dev = jnp.asarray(queries)
 
-    def run(ef, e, cw, ms):
+    def run(ef, e, cw, ms, ni=100):
         outs = []
         for lo in range(0, NQ, BATCH):
             r = batched_search(
                 g.vectors, g.links, g.labels, g.num_nodes,
                 q_dev[lo : lo + BATCH], k=K, ef=ef, metric=MetricType.L2,
                 expand_factor=e, compact_width=cw, m_search=ms,
+                num_initializations=ni,
             )
             outs.append(r.labels)
         return np.concatenate([np.asarray(o) for o in outs], 0)
@@ -99,35 +105,70 @@ def main():
 
     # grid: levers that cut gathered rows/hop. Baselines from round 2:
     # (192, 16, 0, 0) and (128, 64, 0, 0).
-    grid = []
-    for ms in (0, 16, 12):
-        for e, efs in ((16, (128, 192, 256, 384)),
-                       (64, (100, 128, 192, 256)),
-                       (32, (128, 192, 256))):
-            for cw in (0, 256, 384):
-                for ef in efs:
-                    em = e * (ms or M)
-                    if cw and cw >= em:
-                        continue
-                    grid.append((ef, e, cw, ms))
+    if args.quick:
+        # m_search is the only lever that cuts DMA-issued rows per hop
+        # (gathers are issue-rate bound, ~150 ns/row); pair it with
+        # higher ef to recover recall lost to the narrower expansion.
+        grid = [
+            (192, 16, 0, 0),   # round-2 winner, re-anchor
+            (192, 16, 0, 16),
+            (256, 16, 0, 16),
+            (384, 16, 0, 16),
+            (256, 32, 0, 16),
+            (256, 16, 0, 12),
+            (384, 16, 0, 12),
+            (192, 16, 256, 0),
+            (256, 16, 384, 16),
+        ]
+    elif args.entry:
+        # num_initializations with ENTRY_IMPL="matmul" is one MXU
+        # contraction — a 4096-wide entry scan is nearly free and seeds
+        # the beam close to the answer, cutting hops (the only cost that
+        # matters: gathered rows/hop x hops).
+        grid = [
+            (192, 16, 0, 0, 100),   # re-anchor
+            (192, 16, 0, 0, 1024),
+            (192, 16, 0, 0, 4096),
+            (128, 16, 0, 0, 4096),
+            (100, 16, 0, 0, 4096),
+            (128, 16, 0, 0, 8192),
+            (100, 16, 0, 0, 8192),
+            (64, 16, 0, 0, 8192),
+            (128, 16, 0, 16, 8192),
+        ]
+    else:
+        grid = []
+        for ms in (0, 16, 12):
+            for e, efs in ((16, (128, 192, 256, 384)),
+                           (64, (100, 128, 192, 256)),
+                           (32, (128, 192, 256))):
+                for cw in (0, 256, 384):
+                    for ef in efs:
+                        em = e * (ms or M)
+                        if cw and cw >= em:
+                            continue
+                        grid.append((ef, e, cw, ms))
 
     results = []
-    for ef, e, cw, ms in grid:
+    for point in grid:
+        ef, e, cw, ms = point[:4]
+        ni = point[4] if len(point) > 4 else 100
         t0 = time.time()
-        r = recall(run(ef, e, cw, ms))
+        r = recall(run(ef, e, cw, ms, ni))
         dt = time.time() - t0
-        log(f"ef={ef} E={e} cw={cw} ms={ms}: recall={r:.4f} ({dt:.1f}s)")
+        log(f"ef={ef} E={e} cw={cw} ms={ms} ni={ni}: recall={r:.4f} "
+            f"({dt:.1f}s)")
         if r < args.target:
             continue
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            run(ef, e, cw, ms)
+            run(ef, e, cw, ms, ni)
             times.append(time.time() - t0)
         qps = NQ / min(times)
         log(f"  -> {qps:.0f} qps")
         results.append(
-            {"ef": ef, "expand": e, "cw": cw, "ms": ms,
+            {"ef": ef, "expand": e, "cw": cw, "ms": ms, "ni": ni,
              "recall": round(r, 4), "qps": round(qps, 1)}
         )
 
@@ -137,7 +178,7 @@ def main():
     if args.apply and results:
         spath = os.path.join(_REPO, ".bench_cache", f"sweep_{key}.json")
         cands = [
-            [r["ef"], r["expand"], r["cw"], r["ms"]]
+            [r["ef"], r["expand"], r["cw"], r["ms"], r.get("ni", 100)]
             for r in results[: args.top]
         ]
         with open(spath, "w") as f:
