@@ -172,14 +172,38 @@ def main():
             else:
                 fast = point
 
+    # Sweep rows persist after every point (a worker fault mid-sweep
+    # loses one point, not the run) and completed points are skipped on
+    # resume.
+    part_path = f"/tmp/ns_{args.config}_{args.efc}_sweep.json"
     rows, chosen = [], None
+    if os.path.exists(part_path) and not args.rebuild:
+        with open(part_path) as f:
+            rows = json.load(f)
+        log(f"resuming sweep: {len(rows)} recorded points")
+    done_pts = {(r["ef"], r["expand"]) for r in rows}
     for expand in E_SWEEP:
+        arm = [r for r in rows if r["expand"] == expand]
+        if any(r["recall"] >= args.target for r in arm):
+            chosen_row = max(
+                (r for r in arm if r["recall"] >= args.target),
+                key=lambda r: r.get("qps", 0),
+            )
+            if chosen_row.get("qps") and (
+                chosen is None or chosen_row["qps"] > chosen["qps"]
+            ):
+                chosen = dict(chosen_row, efc=args.efc)
+            continue
         for ef in EF_SWEEP:
+            if (ef, expand) in done_pts:
+                continue
             t0 = time.time()
             r = recall(run_graph(ef, expand))
             log(f"E={expand} ef={ef}: recall={r:.4f} "
                 f"({time.time()-t0:.1f}s incl compile)")
             rows.append({"ef": ef, "expand": expand, "recall": r})
+            with open(part_path, "w") as f:
+                json.dump(rows, f)
             if r >= args.target:
                 times = []
                 for _ in range(3):
@@ -188,6 +212,8 @@ def main():
                     times.append(time.time() - t0)
                 qps = round(NQ / min(times), 1)
                 rows[-1]["qps"] = qps
+                with open(part_path, "w") as f:
+                    json.dump(rows, f)
                 log(f"E={expand} ef={ef}: {qps:.0f} qps")
                 if chosen is None or qps > chosen["qps"]:
                     chosen = dict(rows[-1], efc=args.efc)
