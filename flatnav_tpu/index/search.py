@@ -167,11 +167,15 @@ _INT_SENTINEL = 2**31 - 1
 # (queries are independent — results are bit-identical); if even one query
 # cannot fit, it raises a Python ValueError before any kernel launches.
 #
-# Calibration against the observed envelope (v5e 16 GB, 10M x 128 uint8
-# table = 2.6 GB): ef<=1024 at B=4096/E=64 ran; ef=2048 faulted. The
-# estimate below puts those at ~13 GB (fits) and ~26 GB (faults) against
-# ~11 GB usable — consistent. Override with FLATNAV_TPU_MEM_LIMIT=<bytes>
-# (0 disables the guard and chunking entirely).
+# Calibration against the observed envelope (v5e 16 GB): the round-2
+# fault at 10M/ef=2048/B=4096/E=64 and the round-3 fault at
+# 1M/ef=2048/B=4096/E=16 (~19.5 GB under 4-byte merge accounting) both
+# land over the ~11-13 GB usable; the 0.95-recall operating points
+# (ef<=384) stay far under it and are never chunked. The accounting is
+# deliberately conservative for huge-ef shapes — whether XLA keeps the
+# merge compare as bool or materializes a 4-byte form varies per compile,
+# and the failure mode is a worker kill, not an error. Override with
+# FLATNAV_TPU_MEM_LIMIT=<bytes> (0 disables the guard and chunking).
 # ---------------------------------------------------------------------------
 
 
@@ -196,7 +200,13 @@ def _search_temp_bytes(
     dispatch (sum of the terms XLA demonstrably does NOT fuse away)."""
     c = compact_width if (compact_width and compact_width < em) else em
     score = 2 * b * c * d * 4  # gathered rows + distance intermediate (f32)
-    merge = b * ef * min(c, ef)  # merge-network bool compares
+    # merge-network [B, ef, c] broadcast: counted at 4 bytes/element, not
+    # bool — whether XLA keeps the bool compare or materializes an
+    # int32/f32 form is compile-dependent (round 3: a fresh compile of
+    # 1M/ef=2048/B=4096/E=16 kernel-faulted twice at a ~6.6 GB 1-byte
+    # estimate while the previous day's cached executable of the same
+    # shape ran; 4-byte accounting puts it at ~19.5 GB, over the limit)
+    merge = b * ef * min(c, ef) * 4
     hist = b * (2 * ef + 128) * 4  # expanded-id history
     vis = (
         b * (-(-table_rows // 32)) * 4 if VISITED_IMPL == "bitmask" else 0
