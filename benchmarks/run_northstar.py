@@ -83,11 +83,21 @@ def main():
     ap.add_argument("--skip-scan-engines", action="store_true",
                     help="only sweep the graph engine (e.g. efc A/Bs "
                          "where the scan engines are efc-independent)")
+    ap.add_argument("--centers-per-64k", type=int, default=None,
+                    help="override the generator's cluster-count scaling "
+                         "(default: 256 -> cluster count grows with n; "
+                         "see the round-3 difficulty-drift diagnosis in "
+                         "docs/benchmarking.md)")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
     dim, metric = cfg["dim"], cfg["metric"]
 
-    data, queries = clustered(args.n, dim, NQ)
+    gen_kw = {}
+    variant = args.config
+    if args.centers_per_64k is not None:
+        gen_kw["centers_per_64k"] = args.centers_per_64k
+        variant = f"{args.config}-c{args.centers_per_64k}"
+    data, queries = clustered(args.n, dim, NQ, **gen_kw)
     if cfg["normalize"]:
         data /= np.linalg.norm(data, axis=1, keepdims=True) + 1e-12
         queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-12
@@ -95,7 +105,7 @@ def main():
     # Chunked, checkpointed build (same pattern as run_bigann_10m.py):
     # the tunnel's throughput phase is sticky per process, so a slow
     # phase costs at most one chunk before a kill+relaunch redraws it.
-    cache = f"/tmp/ns_{args.config}_{args.n}_{dim}_{M}_{args.efc}.npz"
+    cache = f"/tmp/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
     chunk = 250_000
     if os.path.exists(cache) and not args.rebuild:
         g, _, meta = load_index(cache)
@@ -120,9 +130,15 @@ def main():
                    extra={"build_seconds": round(build_s, 1)})
         log(f"built {done}/{args.n} ({build_s:.1f}s cumulative)")
 
-    gt = np.asarray(
-        brute_force_knn(jnp.asarray(data), jnp.asarray(queries), K, metric)[1]
-    )
+    gt_path = f"/tmp/ns_{variant}_{args.n}_gt.npy"
+    if os.path.exists(gt_path) and not args.rebuild:
+        gt = np.load(gt_path)
+    else:
+        gt = np.asarray(
+            brute_force_knn(
+                jnp.asarray(data), jnp.asarray(queries), K, metric)[1]
+        )
+        np.save(gt_path, gt)
     q_dev = jnp.asarray(queries)
 
     def recall(found):
@@ -175,7 +191,7 @@ def main():
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on
     # resume.
-    part_path = f"/tmp/ns_{args.config}_{args.efc}_sweep.json"
+    part_path = f"/tmp/ns_{variant}_{args.efc}_sweep.json"
     rows, chosen = [], None
     if os.path.exists(part_path) and not args.rebuild:
         with open(part_path) as f:
@@ -184,9 +200,9 @@ def main():
     done_pts = {(r["ef"], r["expand"]) for r in rows}
     for expand in E_SWEEP:
         arm = [r for r in rows if r["expand"] == expand]
-        if any(r["recall"] >= args.target for r in arm):
+        if any(r.get("recall", 0) >= args.target for r in arm):
             chosen_row = max(
-                (r for r in arm if r["recall"] >= args.target),
+                (r for r in arm if r.get("recall", 0) >= args.target),
                 key=lambda r: r.get("qps", 0),
             )
             if chosen_row.get("qps") and (
@@ -198,7 +214,19 @@ def main():
             if (ef, expand) in done_pts:
                 continue
             t0 = time.time()
-            r = recall(run_graph(ef, expand))
+            # A worker kill (kernel fault) takes the whole process down
+            # on the NEXT device call too — mark the point as faulted so
+            # the relaunch skips it, then exit for a clean restart.
+            try:
+                r = recall(run_graph(ef, expand))
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                rows.append({"ef": ef, "expand": expand, "fault": True,
+                             "error": type(e).__name__})
+                with open(part_path, "w") as f:
+                    json.dump(rows, f)
+                log(f"E={expand} ef={ef}: WORKER FAULT ({e}) — marked, "
+                    f"relaunch to continue")
+                sys.exit(3)
             log(f"E={expand} ef={ef}: recall={r:.4f} "
                 f"({time.time()-t0:.1f}s incl compile)")
             rows.append({"ef": ef, "expand": expand, "recall": r})
@@ -229,7 +257,7 @@ def main():
                 check=False, capture_output=True,
             )
         if os.path.exists(binary):
-            df = f"/tmp/ns_{args.config}_data.f32"
+            df = f"/tmp/ns_{variant}_data.f32"
             qf, gf = "/tmp/ns_q.f32", "/tmp/ns_gt.i32"
             nq_ref = 2000
             data.astype(np.float32).tofile(df)
@@ -249,9 +277,10 @@ def main():
 
     result = {
         "workload": (
-            f"{args.config} {args.n}x{dim} fp32 {metric.value} "
+            f"{variant} {args.n}x{dim} fp32 {metric.value} "
             f"M={M} efc={args.efc} k={K}"
         ),
+        "generator": dict(gen_kw) or "defaults",
         "note": "synthetic stand-in (no egress); angular = IP over "
                 "L2-normalized rows, reference grid "
                 "experiments/Makefile:333-381",
@@ -263,7 +292,7 @@ def main():
         "reference_single_core": ref,
     }
     path = os.path.join(
-        _REPO, f"benchmarks/results_{args.config}_efc{args.efc}.json"
+        _REPO, f"benchmarks/results_{variant}_efc{args.efc}.json"
     )
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
@@ -279,10 +308,14 @@ def main():
             main_res = json.load(f)
         prev = main_res.get("graph_operating_point")
         if prev is None or chosen["qps"] > prev.get("qps", 0):
+            if gen_kw:
+                chosen = dict(chosen, generator=dict(gen_kw))
             main_res["graph_operating_point"] = chosen
-            main_res[f"graph_sweep_efc{args.efc}"] = rows
+            main_res[f"graph_sweep_{variant}_efc{args.efc}"] = rows
             if ref:
-                main_res[f"reference_single_core_efc{args.efc}"] = ref
+                main_res[f"reference_single_core_{variant}_efc{args.efc}"] = (
+                    ref
+                )
             with open(main_path, "w") as f:
                 json.dump(main_res, f, indent=2)
             log(f"updated {main_path} graph_operating_point (efc={args.efc})")
