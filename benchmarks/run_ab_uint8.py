@@ -100,14 +100,25 @@ def run_arm(name, gen_kwargs, args):
 
     sweep = []
     for ef in (256, 512, 1024, 2048):
-        outs = []
-        for lo in range(0, NQ, BATCH):
-            r = batched_search(
-                g.vectors, g.links, g.labels, g.num_nodes,
-                q_dev[lo : lo + BATCH], k=K, ef=ef,
-                metric=MetricType.L2, expand_factor=16,
-            )
-            outs.append(np.asarray(r.labels))
+        # ef=2048 fresh compiles can kernel-fault the worker on this
+        # platform (B-independent; see STATUS.md round-3 notes) — a
+        # fault ends the sweep but keeps the arm's recorded points,
+        # and the reference baseline below still runs (fresh process
+        # semantics are not needed: bench_ref is a subprocess).
+        try:
+            outs = []
+            for lo in range(0, NQ, BATCH):
+                r = batched_search(
+                    g.vectors, g.links, g.labels, g.num_nodes,
+                    q_dev[lo : lo + BATCH], k=K, ef=ef,
+                    metric=MetricType.L2, expand_factor=16,
+                )
+                outs.append(np.asarray(r.labels))
+        except Exception as e:
+            log(f"{name}: ef={ef} WORKER FAULT ({type(e).__name__}) — "
+                f"ending sweep")
+            sweep.append({"ef": ef, "fault": True})
+            break
         r = recall(np.concatenate(outs, 0))
         log(f"{name}: ef={ef} recall={r:.4f}")
         sweep.append({"ef": ef, "recall": r})
