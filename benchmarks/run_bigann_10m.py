@@ -211,7 +211,16 @@ def main():
     for expand in (16,):
         for ef in ef_grid:
             t0 = time.time()
-            r = recall(run_graph(ef, expand))
+            # huge-ef fresh compiles can kernel-fault the worker
+            # (B-independent platform bug, STATUS.md round-3) — keep the
+            # engine points already measured and end the sweep
+            try:
+                r = recall(run_graph(ef, expand))
+            except Exception as e:
+                log(f"E={expand} ef={ef}: WORKER FAULT "
+                    f"({type(e).__name__}) — ending sweep")
+                rows.append({"ef": ef, "expand": expand, "fault": True})
+                break
             log(f"E={expand} ef={ef}: recall={r:.4f} "
                 f"({time.time()-t0:.1f}s incl compile)")
             rows.append({"ef": ef, "expand": expand, "recall": r})
@@ -254,7 +263,13 @@ def main():
     result.update({
         "workload": f"clustered uint8 {N}x{D} L2 M={M} efc={EFC} k={K}",
         "note": "BigANN-10M-class stand-in (no egress; synthetic clustered "
-                "uint8). All engines use exact integer distances.",
+                "uint8). All engines use exact integer distances. The "
+                "graph collapse on this workload is root-caused to the "
+                "generator's 39k overlapping clusters, NOT the engine: "
+                "the reference C++ engine collapses identically on the "
+                "same cluster structure (results_ab_uint8.json arm C: "
+                "reference 0.7055 @ ef=3072 vs 0.9395 on the "
+                "natural-cluster arm B; dtype effect nil).",
         "build_seconds": round(build_s, 1),
     })
     for key, val in (
