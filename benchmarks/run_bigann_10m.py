@@ -169,6 +169,11 @@ def main():
         codes_dev = jnp.asarray(codes)
 
         def run_pq():
+            # raw-vector rerank: at 10M the raw uint8 table (2.6 GB)
+            # still fits HBM — the SCAN reads 16-byte codes (8x fewer
+            # bytes than raw) and only the [B, rerank] shortlist touches
+            # raw rows, so recall is shortlist-bounded instead of
+            # PQ-bounded
             outs = []
             for lo in range(0, NQ, BATCH):
                 tables = pq.adc_tables(
@@ -176,7 +181,8 @@ def main():
                 )
                 _, ids = pq_scan_knn(
                     codes_dev, tables, K, metric=MetricType.L2,
-                    tile_size=131072, rerank=32,
+                    tile_size=131072, rerank=64,
+                    vectors=g.vectors, queries=q_dev[lo : lo + BATCH],
                 )
                 outs.append(np.asarray(ids))
             return np.concatenate(outs, 0)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flatnav_tpu.index.search import BeamResults, SearchResults, beam_search_core
-from flatnav_tpu.ops.distances import MetricType
+from flatnav_tpu.ops.distances import MetricType, query_block_distances
 from flatnav_tpu.quantization.kmeans import kmeans
 
 
@@ -309,6 +309,8 @@ def pq_scan_knn(
     tile_size: int = 32768,
     rerank: int = 32,
     n_valid: jax.Array | None = None,
+    vectors: jax.Array | None = None,
+    queries: jax.Array | None = None,
 ):
     """ADC full-table scan on the MXU: the beyond-HBM-scale engine.
 
@@ -319,15 +321,26 @@ def pq_scan_knn(
     VPU per tile, query-independent) contracts with the flattened tables
     [B, S*nc] in one bf16 MXU pass — identical structure to fast_knn's
     phase 1 with S*nc as the feature dimension. A hardware approx_min_k
-    shortlist per tile feeds an exact-f32 ADC rerank (one-hot in f32 on
-    the VPU — no gathers anywhere on the hot path).
+    shortlist per tile feeds the rerank.
+
+    Rerank modes:
+    - `vectors` + `queries` given: RAW-VECTOR rerank — gather the [B, r]
+      shortlist's raw rows (r rows/query at ~150 ns issue: three orders
+      of magnitude fewer rows than the scan) and rank by exact
+      distance. Recall is then shortlist-bounded, not PQ-bounded (the
+      scan reads 8-32x fewer bytes than a raw scan; only the r-row
+      rerank touches raw data). This is the right mode whenever the raw
+      table fits HBM (e.g. 10M x 128 uint8 = 2.6 GB).
+    - otherwise: exact-f32 ADC rerank (one-hot select on the VPU, no
+      gathers) — recall bounded by PQ quantization error; the only mode
+      once raw vectors exceed device memory.
 
     vs the reference: ProductQuantization.h scores one code at a time
     through the per-query distance table (getAsymmetricDistance,
     ProductQuantization.h:367-385); this is that operation batched over
-    [B x N] on the MXU. Returned distances are exact-f32 ADC values
-    (+1 offset for IP, matching asymmetric_distances); recall vs raw
-    vectors is bounded by PQ quantization error as usual.
+    [B x N] on the MXU. ADC-mode distances are exact-f32 ADC values
+    (+1 offset for IP, matching asymmetric_distances); raw-mode
+    distances are exact.
     """
     n, s = codes.shape
     b, s2, nc = tables.shape
@@ -375,16 +388,21 @@ def pq_scan_knn(
     (_, cand_i), _ = jax.lax.scan(
         scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
     )
-    # exact-f32 ADC rerank of the [B, r] shortlist: one-hot select on the
-    # VPU (sum over where(code==c, T[b,s,c], 0)) — gather-free
-    cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
-    sel = (
-        cand_codes.astype(jnp.int32)[:, :, :, None]
-        == cent_iota[None]
-    )  # [B, r, S, nc]
-    exact = jnp.sum(
-        jnp.where(sel, tables[:, None, :, :], 0.0), axis=(2, 3)
-    ) + offset
+    if vectors is not None and queries is not None:
+        # raw-vector rerank: r gathered rows/query vs n scanned codes
+        rows = jnp.take(vectors, cand_i, axis=0)  # [B, r, d]
+        exact = query_block_distances(queries, rows, metric)
+    else:
+        # exact-f32 ADC rerank of the [B, r] shortlist: one-hot select
+        # on the VPU (sum over where(code==c, T[b,s,c], 0)) — gather-free
+        cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
+        sel = (
+            cand_codes.astype(jnp.int32)[:, :, :, None]
+            == cent_iota[None]
+        )  # [B, r, S, nc]
+        exact = jnp.sum(
+            jnp.where(sel, tables[:, None, :, :], 0.0), axis=(2, 3)
+        ) + offset
     order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
     return (
         jnp.take_along_axis(exact, order, axis=1),

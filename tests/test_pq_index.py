@@ -175,6 +175,41 @@ def test_pq_scan_knn_matches_bruteforce_adc(clustered_data):
     np.testing.assert_allclose(got_d_of_ids, want_d, rtol=1e-5, atol=1e-4)
 
 
+def test_pq_scan_knn_raw_rerank(clustered_data):
+    # raw-vector rerank mode: recall is shortlist-bounded, not
+    # PQ-bounded — with a generous shortlist it must beat the ADC
+    # ceiling and approach brute force on the raw vectors
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops import brute_force_knn
+    from flatnav_tpu.quantization.pq import pq_scan_knn
+
+    data, queries = clustered_data
+    data, queries = data[:1500], queries[:16]
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:1000], n_iters=15
+    )
+    codes = jnp.asarray(pq.encode(data))
+    tables = pq.adc_tables(queries)
+    _, gt = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(queries), 10, MetricType.L2
+    )
+    _, adc_ids = pq_scan_knn(
+        codes, tables, 10, metric=MetricType.L2, tile_size=512, rerank=128
+    )
+    d_raw, raw_ids = pq_scan_knn(
+        codes, tables, 10, metric=MetricType.L2, tile_size=512,
+        rerank=128, vectors=jnp.asarray(data),
+        queries=jnp.asarray(queries),
+    )
+    r_adc = _recall(np.asarray(adc_ids), np.asarray(gt))
+    r_raw = _recall(np.asarray(raw_ids), np.asarray(gt))
+    assert r_raw >= r_adc
+    assert r_raw >= 0.9
+    # returned distances are exact raw distances, ascending
+    assert (np.diff(np.asarray(d_raw), axis=1) >= -1e-5).all()
+
+
 def test_pq_index_search_scan(clustered_data):
     import jax.numpy as jnp
 
