@@ -42,7 +42,10 @@ def _build_and_eval(data, queries, m, efc, metric, max_wave, k=10, ef=64):
 
 @pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
 def test_build_recall(rng, metric):
-    n, d, m = 4000, 24, 16
+    # n halved in round 3 to keep the full suite single-shot runnable;
+    # recall on random data only gets easier at smaller n, so the 0.95
+    # reference-grade threshold is unchanged
+    n, d, m = 2000, 24, 16
     data = rng.standard_normal((n, d), dtype=np.float32)
     if metric == MetricType.IP:
         data /= np.linalg.norm(data, axis=1, keepdims=True)
@@ -57,11 +60,11 @@ def test_build_recall(rng, metric):
 def test_wave_size_recall_parity(rng):
     """Mirror of test_parallel_insertions.py: graph quality must not depend
     on the insertion wave size (the analog of thread count)."""
-    n, d, m = 3000, 24, 16
+    n, d, m = 1500, 24, 16
     data = rng.standard_normal((n, d), dtype=np.float32)
     q = rng.standard_normal((100, d), dtype=np.float32)
     r_small, _ = _build_and_eval(data, q, m, 64, MetricType.L2, max_wave=64)
-    r_large, _ = _build_and_eval(data, q, m, 64, MetricType.L2, max_wave=3000)
+    r_large, _ = _build_and_eval(data, q, m, 64, MetricType.L2, max_wave=1500)
     assert r_small >= 0.93 and r_large >= 0.93
     assert abs(r_small - r_large) <= 0.05
 
