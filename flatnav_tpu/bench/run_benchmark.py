@@ -97,6 +97,40 @@ class ScanAdapter:
         return getattr(self._index, name)
 
 
+class PQScanAdapter:
+    """Presents the PQ-ADC one-hot MXU scan (quantization.pq.pq_scan_knn,
+    raw-vector rerank) through the harness's `search(queries, K,
+    ef_search)` contract — ef_search is accepted and ignored. The
+    allocate-only Index supplies the raw vectors for the shortlist
+    rerank; the PQ codes are what the scan reads."""
+
+    def __init__(self, index, pq, codes, rerank: int = 64):
+        self._index = index
+        self._pq = pq
+        self._codes = codes
+        self._rerank = rerank
+
+    def search(self, queries, K: int, ef_search: int):
+        del ef_search
+        import jax.numpy as jnp
+
+        from flatnav_tpu.quantization.pq import pq_scan_knn
+
+        g = self._index._graph  # allocate-only index: vectors valid
+        tables = self._pq.adc_tables(
+            jnp.asarray(np.asarray(queries, dtype=np.float32))
+        )
+        d, ids = pq_scan_knn(
+            self._codes, tables, K, metric=self._pq.metric,
+            rerank=self._rerank, n_valid=g.num_nodes,
+            vectors=g.vectors, queries=jnp.asarray(queries),
+        )
+        return np.asarray(d), np.asarray(ids)
+
+    def __getattr__(self, name):
+        return getattr(self._index, name)
+
+
 def train_index(
     train_data: np.ndarray,
     metric: str,
@@ -142,6 +176,24 @@ def train_index(
         index.allocate_nodes(train_data)
         rerank = 32 if index_type == "flatnav-fast" else 0
         return ScanAdapter(index, rerank), time.time() - t0
+    if index_type == "flatnav-pq-scan":
+        # PQ-ADC scan: train PQ + encode is the "build" (the reference's
+        # flatnav_pq tool role); raw vectors kept for shortlist rerank
+        import jax.numpy as jnp
+
+        from flatnav_tpu.index.api import _DISTANCE_TYPES
+        from flatnav_tpu.quantization import ProductQuantizer
+
+        index.allocate_nodes(train_data)
+        f32 = np.asarray(train_data, dtype=np.float32)
+        # largest subquantizer count <= 16 that divides dim
+        n_sub = max(s for s in range(1, min(16, dim) + 1) if dim % s == 0)
+        pq = ProductQuantizer(
+            dim=dim, num_subquantizers=n_sub,
+            metric=_DISTANCE_TYPES[metric],
+        ).train(f32[:200_000], n_iters=20)
+        codes = jnp.asarray(pq.encode(f32))
+        return PQScanAdapter(index, pq, codes), time.time() - t0
     if use_hnsw_base_layer:
         # hnswlib base-layer import path (run-benchmark.py:204-239)
         import hnswlib
@@ -210,7 +262,8 @@ def parse_args(argv=None):
     p.add_argument("--dataset-size", type=int, default=None, help="row limit")
     p.add_argument(
         "--index-type", default="flatnav",
-        choices=["flatnav", "flatnav-exact", "flatnav-fast", "hnsw"],
+        choices=["flatnav", "flatnav-exact", "flatnav-fast",
+                 "flatnav-pq-scan", "hnsw"],
     )
     p.add_argument("--data-type", default="float32")
     p.add_argument("--num-node-links", type=int, nargs="+", default=[32])

@@ -242,3 +242,33 @@ def test_run_benchmark_scan_engines(npy_triplet, index_type):
     assert len(rows) == 1
     assert rows[0]["recall"] >= 0.99  # exact / near-exact by construction
     assert rows[0]["qps"] > 0
+
+
+def test_run_benchmark_pq_scan_engine(npy_triplet):
+    """The PQ-ADC scan engine runs through the full harness: PQ
+    train+encode as the build, one-hot MXU contraction scan + raw-vector
+    rerank under the adapter. Recall is shortlist-bounded (raw rerank),
+    so near-exact on this small workload."""
+    paths, td = npy_triplet
+    from flatnav_tpu.bench.run_benchmark import parse_args, run_experiment
+
+    args = parse_args(
+        [
+            "--dataset", paths["train"],
+            "--queries", paths["queries"],
+            "--gtruth", paths["gtruth"],
+            "--metric", "l2",
+            "--index-type", "flatnav-pq-scan",
+            "--num-node-links", "8",
+            "--ef-construction", "32",
+            "--ef-search", "32",
+            "--k", "10",
+            "--batch-size", "64",
+            "--metrics-file", str(td / "metrics_pq_scan.json"),
+            "--no-plot",
+        ]
+    )
+    rows = run_experiment(args)
+    assert len(rows) == 1
+    assert rows[0]["recall"] >= 0.9
+    assert rows[0]["qps"] > 0
