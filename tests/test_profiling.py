@@ -25,3 +25,24 @@ def test_timed_context():
 def test_device_memory_stats_shape():
     stats = device_memory_stats()
     assert isinstance(stats, dict)  # may be empty on CPU backend
+
+
+def test_memory_monitor(tmp_path):
+    import json
+    import time as _time
+
+    import numpy as np
+
+    from flatnav_tpu.utils.profiling import MemoryMonitor
+
+    path = tmp_path / "mem.jsonl"
+    with MemoryMonitor(str(path), interval_s=0.05) as mon:
+        arrs = [np.ones((512, 512)) for _ in range(4)]
+        _time.sleep(0.3)
+        del arrs
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert len(lines) >= 2
+    assert all("t" in l and "host" in l and "device" in l for l in lines)
+    assert lines[0]["host"].get("vmrss_kb", 0) > 0
+    pk = mon.peak()
+    assert pk["host_rss_bytes"] > 0
