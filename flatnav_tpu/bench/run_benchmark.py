@@ -278,10 +278,26 @@ def parse_args(argv=None):
     p.add_argument("--metrics-file", default="metrics.json")
     p.add_argument("--metrics", nargs="+", default=DEFAULT_METRICS)
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument(
+        "--memory-log", default=None,
+        help="sample host+device memory to this JSONL during the run "
+             "(the reference's cAdvisor/Prometheus analog)",
+    )
     return p.parse_args(argv)
 
 
 def run_experiment(args) -> list[dict]:
+    if getattr(args, "memory_log", None):
+        from flatnav_tpu.utils.profiling import MemoryMonitor
+
+        with MemoryMonitor(args.memory_log) as mon:
+            rows = _run_experiment(args)
+        logger.info("memory peaks: %s", mon.peak())
+        return rows
+    return _run_experiment(args)
+
+
+def _run_experiment(args) -> list[dict]:
     loader = get_data_loader(
         args.dataset, args.queries, args.gtruth, limit=args.dataset_size
     )
