@@ -385,7 +385,7 @@ def pq_scan_knn(
         jnp.full((b, r), jnp.inf, jnp.float32),
         jnp.zeros((b, r), jnp.int32),
     )
-    (_, cand_i), _ = jax.lax.scan(
+    (cand_k, cand_i), _ = jax.lax.scan(
         scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
     )
     if vectors is not None and queries is not None:
@@ -403,6 +403,10 @@ def pq_scan_knn(
         exact = jnp.sum(
             jnp.where(sel, tables[:, None, :, :], 0.0), axis=(2, 3)
         ) + offset
+    # shortlist slots never filled by a valid row carry an inf scan key
+    # (rows past n_valid, or r > valid candidates) — the rerank must not
+    # resurrect them with a finite re-score
+    exact = jnp.where(jnp.isinf(cand_k), jnp.inf, exact)
     order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
     return (
         jnp.take_along_axis(exact, order, axis=1),

@@ -235,3 +235,29 @@ def test_pq_index_search_scan(clustered_data):
     ceiling = _recall(ceiling_top, np.asarray(gt))
     assert r >= 0.95 * ceiling, (r, ceiling)
     assert np.all(np.diff(d, axis=1) >= 0)
+
+
+def test_pq_scan_knn_partial_prefix(clustered_data):
+    # rows past n_valid carry inf scan keys; the rerank (either mode)
+    # must not resurrect them with a finite re-score
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq import pq_scan_knn
+
+    data, queries = clustered_data
+    data, queries = data[:1024], queries[:8]
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:800], n_iters=10
+    )
+    codes = jnp.asarray(pq.encode(data))
+    tables = pq.adc_tables(queries)
+    n_valid = 300
+    for kw in (
+        {},
+        dict(vectors=jnp.asarray(data), queries=jnp.asarray(queries)),
+    ):
+        _, ids = pq_scan_knn(
+            codes, tables, 5, metric=MetricType.L2, tile_size=256,
+            rerank=16, n_valid=jnp.asarray(n_valid, jnp.int32), **kw
+        )
+        assert (np.asarray(ids) < n_valid).all()

@@ -55,6 +55,24 @@ def test_subbatch_shrinks_with_limit(monkeypatch):
     assert big_ef >= 1
 
 
+def test_r3_fault_envelope_chunks(monkeypatch):
+    # round-3 calibration: the 1M/ef=2048/B=4096/E=16 shape kernel-faulted
+    # the worker on fresh compiles at the old 1-byte merge accounting —
+    # under 4-byte accounting the guard must chunk it on a 16 GB device,
+    # while the 0.95-recall operating points (ef<=512) stay unchunked
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "16e9")
+    faulting = safe_query_batch(
+        4096, 2048, m=32, d=128, expand_factor=16,
+        table_rows=1_000_000, table_bytes=644_000_000,
+    )
+    assert faulting < 4096
+    op_point = safe_query_batch(
+        4096, 512, m=32, d=128, expand_factor=64,
+        table_rows=1_000_000, table_bytes=644_000_000,
+    )
+    assert op_point == 4096
+
+
 def test_impossible_config_raises(monkeypatch):
     monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "1e6")
     with pytest.raises(ValueError, match="cannot fit"):
