@@ -167,26 +167,48 @@ def main():
                 outs.append(np.asarray(i_))
             return np.concatenate(outs, 0)
 
+        # Large-d tables: the [B, tile] key matrix rides beside the f32
+        # table AND fast_knn's bf16 copy — at d=960 the 262144 tile that
+        # wins at d=128 is memory-marginal, so scale it down.
+        fast_tile = 262144 if dim <= 256 else 65536
         ex = lambda q: brute_force_knn(
             g.vectors, q, K, metric, n_valid=g.num_nodes
         )
         fa = lambda q: fast_knn(
-            g.vectors, q, K, metric, tile_size=262144, rerank=32,
+            g.vectors, q, K, metric, tile_size=fast_tile, rerank=32,
             n_valid=g.num_nodes,
         )
+        # Engine points persist like sweep rows: a worker fault here must
+        # not wedge the relaunch loop before the graph sweep, and a
+        # relaunch must not re-attempt a faulted (or finished) engine.
+        eng_path = f"/tmp/ns_{variant}_{args.efc}_engines.json"
+        eng: dict = {}
+        if os.path.exists(eng_path) and not args.rebuild:
+            with open(eng_path) as f:
+                eng = json.load(f)
         for name, fn in (("exact", ex), ("fast", fa)):
-            r = recall(run_engine(fn))
-            times = []
-            for _ in range(3):
-                t0 = time.time()
-                run_engine(fn)
-                times.append(time.time() - t0)
-            point = {"recall": r, "qps": round(NQ / min(times), 1)}
-            log(f"{name} engine: {point['qps']:.0f} qps @ recall {r:.4f}")
-            if name == "exact":
-                exact = point
-            else:
-                fast = point
+            if name in eng:
+                log(f"{name} engine: resuming recorded point {eng[name]}")
+                continue
+            try:
+                r = recall(run_engine(fn))
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    run_engine(fn)
+                    times.append(time.time() - t0)
+            except Exception as e:  # jax.errors.JaxRuntimeError
+                eng[name] = {"fault": True, "error": type(e).__name__}
+                with open(eng_path, "w") as f:
+                    json.dump(eng, f)
+                log(f"{name} engine: WORKER FAULT ({e}) — marked, "
+                    f"relaunch to continue")
+                sys.exit(3)
+            eng[name] = {"recall": r, "qps": round(NQ / min(times), 1)}
+            with open(eng_path, "w") as f:
+                json.dump(eng, f)
+            log(f"{name} engine: {eng[name]['qps']:.0f} qps @ recall {r:.4f}")
+        exact, fast = eng.get("exact"), eng.get("fast")
 
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on

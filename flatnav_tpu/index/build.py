@@ -446,6 +446,65 @@ _MIN_WAVE = 64
 _MAX_WAVE = MAX_WAVE
 
 
+def _safe_wave_size(
+    max_wave: int,
+    *,
+    ef_construction: int,
+    m: int,
+    d: int,
+    expand_factor: int,
+    intra_candidates: int,
+    capacity: int,
+    table_bytes: int,
+) -> int:
+    """Largest wave whose estimated device working set fits HBM.
+
+    Build-side analog of search.safe_query_batch (the round-2 crash-guard):
+    a wave's beam search materializes the same per-hop intermediates as a
+    query batch of the same width (search._search_temp_bytes), plus the
+    intra-wave [W, W] exact block and the [W, ef+intra, d] candidate gather
+    feeding diversity pruning. At d=128 the default 8192-wave fits a 16 GB
+    chip; at d=960 (GIST-class) it would need ~64 GB and kill the TPU
+    worker — the guard halves the wave instead. Quality is unaffected:
+    wave members get exact intra-wave candidates at any width
+    (wave_search_select), so narrower waves only trade device occupancy.
+    """
+    from flatnav_tpu.index.search import (
+        _device_mem_limit,
+        _search_temp_bytes,
+    )
+
+    limit = _device_mem_limit()
+    if not limit:
+        return max_wave
+    avail = 0.85 * (limit - table_bytes)
+    em = max(min(expand_factor, ef_construction), 1) * m
+    cand = ef_construction + intra_candidates
+
+    def temp(w: int) -> int:
+        return (
+            _search_temp_bytes(w, ef_construction, em, d, 0, capacity)
+            + w * w * 4  # intra-wave pairwise block
+            + 2 * w * cand * d * 4  # candidate-row gather + prune scratch
+        )
+
+    w = max_wave
+    while w > _MIN_WAVE and temp(w) > avail:
+        w //= 2
+    if temp(w) > avail:
+        raise ValueError(
+            f"build config cannot fit device memory even at the minimum "
+            f"{_MIN_WAVE}-point wave: ef_construction={ef_construction}, "
+            f"expand_factor={expand_factor}, d={d} needs "
+            f"~{temp(w) / 1e9:.2f} GB of wave working set against "
+            f"~{avail / 1e9:.2f} GB available beside the "
+            f"{table_bytes / 1e9:.2f} GB table. Reduce ef_construction or "
+            f"expand_factor, or build model-sharded across chips "
+            f"(add_batch(mesh=..., table_spec='model'))."
+        )
+    return w
+
+
 def _wave_size(committed: int, remaining: int, max_wave: int) -> int:
     """Full-width waves: because wave members get EXACT intra-wave
     candidates (wave_search_select), graph quality does not depend on the
@@ -500,6 +559,16 @@ def add_batch(
     if intra_candidates is None:
         intra_candidates = 2 * m_sel
     max_wave = min(max_wave, _MAX_WAVE)
+    max_wave = _safe_wave_size(
+        max_wave,
+        ef_construction=ef_construction,
+        m=m,
+        d=int(graph.vectors.shape[1]),
+        expand_factor=expand_factor,
+        intra_candidates=intra_candidates,
+        capacity=cap,
+        table_bytes=graph.vectors.nbytes + graph.links.nbytes,
+    )
     committed = int(graph.num_nodes)
     if committed + n > cap:
         raise RuntimeError(

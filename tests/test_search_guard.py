@@ -134,6 +134,67 @@ def test_chunked_results_bit_identical(monkeypatch):
     assert int(full.hops) == int(chunked.hops)
 
 
+def test_wave_guard_passthrough_and_shrink(monkeypatch):
+    # Build-side analog (round 3): add_batch caps the insertion wave the
+    # same way batched_search chunks queries. d=128 keeps the full wave;
+    # d=960 (GIST-class, ~64 GB at full width) must shrink, not fault.
+    from flatnav_tpu.index.build import _safe_wave_size
+
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "16e9")
+    kw = dict(
+        ef_construction=100, m=32, expand_factor=32,
+        intra_candidates=32, capacity=1_000_000,
+    )
+    assert _safe_wave_size(
+        8192, d=128, table_bytes=644_000_000, **kw
+    ) == 8192
+    w = _safe_wave_size(8192, d=960, table_bytes=3_968_000_000, **kw)
+    assert 64 <= w < 8192
+
+
+def test_wave_guard_impossible_raises(monkeypatch):
+    from flatnav_tpu.index.build import _safe_wave_size
+
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "1e8")
+    with pytest.raises(ValueError, match="cannot fit"):
+        _safe_wave_size(
+            8192, ef_construction=100, m=32, d=4096, expand_factor=64,
+            intra_candidates=32, capacity=1_000_000, table_bytes=0,
+        )
+
+
+def test_wave_guard_build_completes(monkeypatch):
+    # With a limit that forces sub-full waves, the build must still finish
+    # and yield a searchable graph (narrow waves change the wave
+    # partition, never validity).
+    from flatnav_tpu.index.build import _safe_wave_size, add_batch
+    from flatnav_tpu.index.graph import make_empty_graph
+
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "5e6")
+    n, d, m = 300, 8, 8
+    capped = _safe_wave_size(
+        8192, ef_construction=32, m=m, d=d, expand_factor=32,
+        intra_candidates=8, capacity=n, table_bytes=2 * n * d * 4,
+    )
+    assert capped < n  # the limit really splits this build into waves
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    g = make_empty_graph(n, d, m)
+    g = add_batch(
+        g, data, np.arange(n), ef_construction=32, metric=MetricType.L2
+    )
+    assert int(g.num_nodes) == n
+    q = jnp.asarray(data[:16])
+    res = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, q, k=1, ef=32,
+        metric=MetricType.L2,
+    )
+    # every point finds itself
+    np.testing.assert_array_equal(
+        np.asarray(res.labels)[:, 0], np.arange(16)
+    )
+
+
 def test_m_search_prefix_degree(monkeypatch):
     monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
     vecs, links, labels = _toy_graph()
