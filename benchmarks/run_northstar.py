@@ -181,7 +181,7 @@ def main():
         # Engine points persist like sweep rows: a worker fault here must
         # not wedge the relaunch loop before the graph sweep, and a
         # relaunch must not re-attempt a faulted (or finished) engine.
-        eng_path = f"/tmp/ns_{variant}_{args.efc}_engines.json"
+        eng_path = f"/tmp/ns_{variant}_{args.n}_{args.efc}_engines.json"
         eng: dict = {}
         if os.path.exists(eng_path) and not args.rebuild:
             with open(eng_path) as f:
@@ -213,7 +213,7 @@ def main():
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on
     # resume.
-    part_path = f"/tmp/ns_{variant}_{args.efc}_sweep.json"
+    part_path = f"/tmp/ns_{variant}_{args.n}_{args.efc}_sweep.json"
     rows, chosen = [], None
     if os.path.exists(part_path) and not args.rebuild:
         with open(part_path) as f:
