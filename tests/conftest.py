@@ -16,10 +16,25 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# silence XLA:CPU AOT loader feature-string warnings when loading cached
+# executables (cosmetic: same machine, canonicalization-order mismatch)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the suite (committed in-repo): the tests are
+# compile-dominated on the single-core CPU mesh (~10 min cold), and the
+# suite must fit a single-shot 600 s runner. Only multi-second compiles are
+# cached to keep the blob small; source changes miss cleanly (keyed on HLO)
+# and fall back to compiling.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir,
+                 ".test_compile_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
