@@ -295,6 +295,28 @@ def main():
         _time_only(args)
         return
 
+    # Fail FAST if the device is unreachable: jax.devices() on a dead
+    # tunnel blocks indefinitely, which in round 2 turned into an rc=124
+    # driver timeout with no artifact. Probe in a killable subprocess and
+    # retry within a bounded window, then exit with a clear error instead
+    # of hanging the caller's whole budget.
+    if os.environ.get("JAX_PLATFORMS") not in ("cpu",):
+        probe_deadline = _T_START + min(600.0, args.budget / 2)
+        while True:
+            try:
+                subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=180, check=True,
+                )
+                break
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+                if time.time() > probe_deadline:
+                    _log("device unreachable after bounded probing; "
+                         "aborting (no stale number is reported)")
+                    sys.exit(2)
+                _log("device probe failed; retrying in 60s")
+                time.sleep(60)
+
     _log(f"devices: {jax.devices()}")
 
     rng = np.random.default_rng(0x5EED)
@@ -389,43 +411,46 @@ def main():
     # compact_width stays 0 here: the 1M sweep showed aggressive
     # compaction (256 << E*M) costs real recall on clustered data at
     # scale; it remains a power-user knob (--compact-width in time-only)
-    candidates = []  # (ef, E, cw, recall, recall_dist)
-    if cache and cache.get("candidates"):
-        # warm start: re-MEASURE the cached operating points' recall (the
-        # sweep search is skipped, every reported number is fresh); if
-        # search semantics changed and none qualify, fall through to the
-        # full sweep below
-        for cand in cache["candidates"]:
-            ef, expand, cw = cand[:3]
-            ms = cand[3] if len(cand) > 3 else 0
-            ni = cand[4] if len(cand) > 4 else 100
-            found, found_d = run(ef, expand, cw, ms, ni)
-            r = _recall(found, gt)
-            rd = _recall_dist(found_d, gt_dn)
-            _log(f"cached op point E={expand} ef={ef} cw={cw} ms={ms} "
-                 f"ni={ni}: recall={r:.4f}")
-            if r >= args.target_recall:
-                candidates.append((ef, expand, cw, ms, ni, r, rd))
-        if not candidates:
-            _log("cached operating points no longer meet the target; "
-                 "re-sweeping")
-    if not candidates:
-        for expand in E_SWEEP:
-            cw = 0
-            for ef in EF_SWEEP:
-                t0 = time.time()
-                found, found_d = run(ef, expand, cw)
+    def graph_candidates():
+        candidates = []  # (ef, E, cw, ms, ni, recall, recall_dist)
+        if cache and cache.get("candidates"):
+            # warm start: re-MEASURE the cached operating points' recall
+            # (the sweep search is skipped, every reported number is
+            # fresh); if search semantics changed and none qualify, fall
+            # through to the full sweep below
+            for cand in cache["candidates"]:
+                ef, expand, cw = cand[:3]
+                ms = cand[3] if len(cand) > 3 else 0
+                ni = cand[4] if len(cand) > 4 else 100
+                found, found_d = run(ef, expand, cw, ms, ni)
                 r = _recall(found, gt)
                 rd = _recall_dist(found_d, gt_dn)
-                _log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
-                     f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
-                     f"compile)")
+                _log(f"cached op point E={expand} ef={ef} cw={cw} ms={ms} "
+                     f"ni={ni}: recall={r:.4f}")
                 if r >= args.target_recall:
-                    candidates.append((ef, expand, cw, 0, 100, r, rd))
-                    break
+                    candidates.append((ef, expand, cw, ms, ni, r, rd))
+            if not candidates:
+                _log("cached operating points no longer meet the target; "
+                     "re-sweeping")
         if not candidates:
-            candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, 0, 100, r, rd)]
-        _save_sweep_cache(key, candidates, None)
+            r = rd = 0.0
+            for expand in E_SWEEP:
+                cw = 0
+                for ef in EF_SWEEP:
+                    t0 = time.time()
+                    found, found_d = run(ef, expand, cw)
+                    r = _recall(found, gt)
+                    rd = _recall_dist(found_d, gt_dn)
+                    _log(f"E={expand} ef={ef} cw={cw}: recall={r:.4f} "
+                         f"(dist-based {rd:.4f}, {time.time()-t0:.1f}s incl "
+                         f"compile)")
+                    if r >= args.target_recall:
+                        candidates.append((ef, expand, cw, 0, 100, r, rd))
+                        break
+            if not candidates:
+                candidates = [(EF_SWEEP[-1], E_SWEEP[0], 0, 0, 100, r, rd)]
+            _save_sweep_cache(key, candidates, None)
+        return candidates
 
     # Steady-state timing. The tunnel's throughput phase is sticky PER
     # PROCESS (measured 13-25x run-to-run variance on identical compiled
@@ -519,37 +544,63 @@ def main():
             qps_c = max(qps_c, qps_sub)
         return qps_c
 
-    best = None  # graph: (qps, ef, E, cw, ms, ni, recall, recall_dist)
-    for ef, expand, cw, ms, ni, r, rd in candidates:
-        qps_c = measure("graph", ef, expand, cw, ms, ni)
-        if best is None or qps_c > best[0]:
-            best = (qps_c, ef, expand, cw, ms, ni, r, rd)
-    (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms, chosen_ni,
-     graph_recall, graph_recall_d) = best
-
-    # exact engine (recall 1.0 by construction — verified once here)
-    ex_d, ex_i = brute_force_knn(
-        g.vectors, q_dev[: args.batch], args.k, MetricType.L2,
-        n_valid=g.num_nodes,
-    )
-    exact_recall = _recall(np.asarray(ex_i), gt[: args.batch])
-    assert exact_recall > 0.999, exact_recall
-    exact_qps = measure("exact", 0, 0)
+    # Engines are measured scan-first inside per-engine fault boundaries:
+    # the scan engines carry the headline, so a later graph-side worker
+    # fault (a killed TPU worker poisons every SUBSEQUENT device call in
+    # this process) must not cost the whole artifact — round 2's lesson is
+    # that the driver records exactly what this process prints.
+    faults = {}
 
     # two-phase scan (bf16 + approx_min_k shortlist + exact rerank):
     # recall is MEASURED over the full query set like any ANN engine
-    fast_found = np.concatenate([
-        np.asarray(fast_knn(
-            g.vectors, q_dev[lo : lo + args.batch], args.k,
-            MetricType.L2, tile_size=262144, rerank=32,
+    fast_recall, fast_qps = 0.0, 0.0
+    try:
+        fast_found = np.concatenate([
+            np.asarray(fast_knn(
+                g.vectors, q_dev[lo : lo + args.batch], args.k,
+                MetricType.L2, tile_size=262144, rerank=32,
+                n_valid=g.num_nodes,
+            )[1])
+            for lo in range(0, args.num_queries, args.batch)
+        ])
+        fast_recall = _recall(fast_found, gt)
+        _log(f"fast-scan recall: {fast_recall:.4f}")
+        if fast_recall >= args.target_recall:
+            fast_qps = measure("fast", 0, 0)
+    except Exception as e:
+        faults["fast"] = repr(e)
+        _log(f"fast engine FAULTED: {e!r}")
+
+    # exact engine (recall 1.0 by construction — verified once here)
+    exact_qps = 0.0
+    try:
+        ex_d, ex_i = brute_force_knn(
+            g.vectors, q_dev[: args.batch], args.k, MetricType.L2,
             n_valid=g.num_nodes,
-        )[1])
-        for lo in range(0, args.num_queries, args.batch)
-    ])
-    fast_recall = _recall(fast_found, gt)
-    _log(f"fast-scan recall: {fast_recall:.4f}")
-    fast_qps = measure("fast", 0, 0) if fast_recall >= args.target_recall \
-        else 0.0
+        )
+        exact_recall = _recall(np.asarray(ex_i), gt[: args.batch])
+        assert exact_recall > 0.999, exact_recall
+        exact_qps = measure("exact", 0, 0)
+    except Exception as e:
+        faults["exact"] = repr(e)
+        _log(f"exact engine FAULTED: {e!r}")
+
+    # graph engine: operating-point sweep (or cached-point re-measure),
+    # then steady-state timing of each qualifying candidate
+    graph_qps = graph_recall = graph_recall_d = 0.0
+    chosen_ef = chosen_e = chosen_cw = chosen_ms = chosen_ni = None
+    try:
+        best = None  # (qps, ef, E, cw, ms, ni, recall, recall_dist)
+        for ef, expand, cw, ms, ni, r, rd in graph_candidates():
+            qps_c = measure("graph", ef, expand, cw, ms, ni)
+            if best is None or qps_c > best[0]:
+                best = (qps_c, ef, expand, cw, ms, ni, r, rd)
+        if best is not None:
+            (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms,
+             chosen_ni, graph_recall, graph_recall_d) = best
+    except Exception as e:
+        faults["graph"] = repr(e)
+        _log(f"graph engine FAULTED: {e!r}")
 
     engine_points = [
         ("graph", graph_qps, graph_recall, graph_recall_d),
@@ -559,18 +610,25 @@ def main():
     engine, qps, recall, recall_d = max(
         engine_points, key=lambda p: p[1]
     )
+    if qps <= 0.0:
+        _log(f"no engine produced a qualifying measurement "
+             f"(faults: {faults}); refusing to print a bogus headline")
+        sys.exit(1)
 
     # one fresh-process confirmation retime of the winning config only
-    if engine == "graph":
-        qps = retime("graph", chosen_ef, chosen_e, chosen_cw, chosen_ms,
-                     qps, chosen_ni)
-        graph_qps = qps
-    else:
-        qps = retime(engine, 0, 0, 0, 0, qps)
-        if engine == "exact":
-            exact_qps = qps
+    try:
+        if engine == "graph":
+            qps = retime("graph", chosen_ef, chosen_e, chosen_cw,
+                         chosen_ms, qps, chosen_ni)
+            graph_qps = qps
         else:
-            fast_qps = qps
+            qps = retime(engine, 0, 0, 0, 0, qps)
+            if engine == "exact":
+                exact_qps = qps
+            else:
+                fast_qps = qps
+    except Exception as e:
+        _log(f"winner retime failed ({e!r}); keeping in-process number")
 
     if args.no_baseline or args.dtype != "float32":
         ref_qps, ref_measured, ref = _FALLBACK_REF_QPS, False, {}
@@ -608,6 +666,7 @@ def main():
                 "num_init": chosen_ni,
                 "build_seconds": round(build_s, 1),
                 "build_cached": build_cached,
+                "engine_faults": faults or None,
                 "baseline_qps": ref_qps,
                 "baseline_measured": ref_measured,
                 "baseline_ef_search": ref.get("ef_search"),
