@@ -272,7 +272,7 @@ def _routed_knn_jit(
     # 1. route every query against every block centroid (one MXU matmul;
     #    [B, nb] is tiny next to the table)
     route_d = pairwise_distances(_as_f32(queries), block_cents, metric)
-    neg_top, top_blocks = jax.lax.top_k(-route_d, probes)  # [B, P]
+    _, top_blocks = jax.lax.top_k(-route_d, probes)  # [B, P]
 
     # 2. sort queries by primary block so a group's unions stay tight
     order = jnp.argsort(top_blocks[:, 0], stable=True).astype(jnp.int32)

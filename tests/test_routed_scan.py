@@ -71,7 +71,7 @@ def test_pruned_recall_on_separated_clusters(workload, rs):
     and never returns an invalid (pad) id."""
     _, queries, _, gt_i = workload
     nb = rs.block_centroids.shape[0]
-    dd, ii = routed_knn(
+    _, ii = routed_knn(
         rs, jnp.asarray(queries), 5, probes=4, union_blocks=nb // 2,
         group_size=32,
     )

@@ -138,8 +138,8 @@ def main():
               f"({row['distinct_voted_blocks']:.0f}/{nb} blocks voted)",
               file=sys.stderr)
 
-        dd, ii = routed_knn(rs, jnp.asarray(queries), k, probes=P,
-                            union_blocks=U, group_size=G)
+        _, ii = routed_knn(rs, jnp.asarray(queries), k, probes=P,
+                           union_blocks=U, group_size=G)
         r = float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / k
             for a, b in zip(np.asarray(ii), gt_i)
