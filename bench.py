@@ -303,10 +303,13 @@ def main():
     if os.environ.get("JAX_PLATFORMS") not in ("cpu",):
         probe_deadline = _T_START + min(600.0, args.budget / 2)
         while True:
+            # clamp each attempt to the remaining probe window so a hung
+            # tunnel cannot overshoot the deadline by a full attempt
+            attempt_s = max(30.0, min(180.0, probe_deadline - time.time()))
             try:
                 subprocess.run(
                     [sys.executable, "-c", "import jax; jax.devices()"],
-                    capture_output=True, timeout=180, check=True,
+                    capture_output=True, timeout=attempt_s, check=True,
                 )
                 break
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
@@ -581,6 +584,11 @@ def main():
         exact_recall = _recall(np.asarray(ex_i), gt[: args.batch])
         assert exact_recall > 0.999, exact_recall
         exact_qps = measure("exact", 0, 0)
+    except AssertionError:
+        # oracle inconsistency is NOT a containable device fault: every
+        # engine's recall is measured against this same gt — abort loudly
+        # rather than publish a headline checked against a broken oracle
+        raise
     except Exception as e:
         faults["exact"] = repr(e)
         _log(f"exact engine FAULTED: {e!r}")
@@ -590,14 +598,14 @@ def main():
     graph_qps = graph_recall = graph_recall_d = 0.0
     chosen_ef = chosen_e = chosen_cw = chosen_ms = chosen_ni = None
     try:
-        best = None  # (qps, ef, E, cw, ms, ni, recall, recall_dist)
         for ef, expand, cw, ms, ni, r, rd in graph_candidates():
             qps_c = measure("graph", ef, expand, cw, ms, ni)
-            if best is None or qps_c > best[0]:
-                best = (qps_c, ef, expand, cw, ms, ni, r, rd)
-        if best is not None:
-            (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms,
-             chosen_ni, graph_recall, graph_recall_d) = best
+            # commit the best point incrementally: a fault on a LATER
+            # candidate must not discard measurements already taken
+            if qps_c > graph_qps:
+                (graph_qps, chosen_ef, chosen_e, chosen_cw, chosen_ms,
+                 chosen_ni, graph_recall, graph_recall_d) = (
+                    qps_c, ef, expand, cw, ms, ni, r, rd)
     except Exception as e:
         faults["graph"] = repr(e)
         _log(f"graph engine FAULTED: {e!r}")

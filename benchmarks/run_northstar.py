@@ -313,17 +313,22 @@ def main():
         "sweep": rows,
         "reference_single_core": ref,
     }
+    # smoke-size runs must never clobber the committed 1M artifacts:
+    # key the results file by n when it isn't the standard scale
+    size_tag = "" if args.n == 1_000_000 else f"_n{args.n}"
     path = os.path.join(
-        _REPO, f"benchmarks/results_{variant}_efc{args.efc}.json"
+        _REPO, f"benchmarks/results_{variant}_efc{args.efc}{size_tag}.json"
     )
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
 
     # VERDICT r02 item 2: record a qualifying clustered graph point into
-    # the headline 1M results file
+    # the headline 1M results file (1M runs only — a smoke-size run's
+    # trivially-high qps must not replace the headline operating point)
     main_path = os.path.join(_REPO, "benchmarks/results_clustered_1m.json")
     if (
-        args.config == "clustered" and chosen is not None
+        args.config == "clustered" and args.n == 1_000_000
+        and chosen is not None
         and chosen["recall"] >= args.target and os.path.exists(main_path)
     ):
         with open(main_path) as f:

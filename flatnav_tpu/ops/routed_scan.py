@@ -186,10 +186,9 @@ def build_routed_scan(
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     offsets = np.arange(n) - starts[assign[order]]
     slot_ids[assign[order] * block + offsets] = order
-    fill = np.where(slot_ids >= 0, slot_ids, -1)
-    # empty cells (possible when nb*block >> n) fall back to row 0
-    first_real = fill.reshape(nb, block).max(axis=1)
-    first_real = np.maximum(first_real, 0)
+    # pad slots repeat a real row from their own cell (any one works —
+    # they are masked at query time); empty cells fall back to row 0
+    first_real = np.maximum(slot_ids.reshape(nb, block).max(axis=1), 0)
     row_src = np.where(
         slot_ids >= 0, np.maximum(slot_ids, 0),
         np.repeat(first_real, block),
@@ -223,9 +222,9 @@ def routed_knn(
     union_blocks: int = 32,
     group_size: int = 256,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Pruned exact-over-union kNN. Returns (dists [B, k], ids [B, k])
-    with brute_force_knn's conventions (ascending, stable-tied, exact f32
-    distances); only block SELECTION is approximate.
+    """Pruned exact-over-union kNN. Returns (dists [B, k], ids [B, k]),
+    distances ascending and exact f32 (ties in block-layout order); only
+    block SELECTION is approximate.
 
     probes:       blocks each query votes for (weighted by routing rank)
     union_blocks: blocks scanned per query group (the work knob:
@@ -279,9 +278,15 @@ def _routed_knn_jit(
     inv = jnp.argsort(order, stable=True).astype(jnp.int32)
     q_sorted = jnp.take(queries, order, axis=0)
     tb_sorted = jnp.take(top_blocks, order, axis=0)
+    # batch-padding copies of queries[0] must not vote: they would crowd
+    # real queries' blocks out of the union
+    vq_sorted = jnp.take(
+        (jnp.arange(b_pad) < b_in).astype(jnp.float32), order
+    )
 
     q_groups = q_sorted.reshape(n_groups, group, d)
     tb_groups = tb_sorted.reshape(n_groups, group, probes)
+    vq_groups = vq_sorted.reshape(n_groups, group)
 
     # rank-weighted votes: a query's primary block outvotes `probes`
     # secondary picks, so primaries are evicted last under union pressure
@@ -289,9 +294,9 @@ def _routed_knn_jit(
     vote_w = vote_w.at[0].set(float(probes * probes))
 
     def scan_group(carry, inp):
-        q_g, tb_g = inp  # [group, d], [group, P]
+        q_g, tb_g, vq_g = inp  # [group, d], [group, P], [group]
         votes = jnp.zeros((nb,), jnp.float32).at[tb_g.reshape(-1)].add(
-            jnp.broadcast_to(vote_w, (group, probes)).reshape(-1)
+            (vote_w[None, :] * vq_g[:, None]).reshape(-1)
         )
         _, keep = jax.lax.top_k(votes, union)  # [U] block ids
 
@@ -317,16 +322,14 @@ def _routed_knn_jit(
         return carry, (-neg_k, ids_k)
 
     _, (d_k, i_k) = jax.lax.scan(
-        scan_group, None, (q_groups, tb_groups)
+        scan_group, None, (q_groups, tb_groups, vq_groups)
     )
     d_k = d_k.reshape(b_pad, k)
     i_k = i_k.reshape(b_pad, k)
 
-    # unsort, drop padding, stable-tie order like brute_force_knn
-    d_k = jnp.take(d_k, inv, axis=0)[:b_in]
-    i_k = jnp.take(i_k, inv, axis=0)[:b_in]
-    tie = jnp.argsort(d_k, axis=1, stable=True)
+    # unsort and drop padding; top_k already returns distances ascending
+    # (ties in block-layout order)
     return (
-        jnp.take_along_axis(d_k, tie, axis=1),
-        jnp.take_along_axis(i_k, tie, axis=1),
+        jnp.take(d_k, inv, axis=0)[:b_in],
+        jnp.take(i_k, inv, axis=0)[:b_in],
     )

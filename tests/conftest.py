@@ -16,9 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# silence XLA:CPU AOT loader feature-string warnings when loading cached
-# executables (cosmetic: same machine, canonicalization-order mismatch)
-os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# quiet XLA:CPU AOT loader feature-string noise when loading cached
+# executables (cosmetic: same machine, canonicalization-order mismatch);
+# level 2 keeps ERROR-severity diagnostics visible
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 
 import jax  # noqa: E402
 

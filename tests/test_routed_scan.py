@@ -88,6 +88,37 @@ def test_deterministic(workload, rs):
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
 
 
+def test_batch_padding_does_not_vote(workload, rs):
+    """Pad queries must not influence a PRUNED union: with b_in real
+    queries, the result must be invariant to the pad rows' content
+    (pre-fix, pads voted with full weight and hijacked the union)."""
+    from flatnav_tpu.ops.routed_scan import _routed_knn_jit
+
+    _, queries, _, _ = workload
+    nb = rs.block_centroids.shape[0]
+    qs = queries[:20]
+    rng = np.random.default_rng(11)
+    pads = [
+        np.tile(qs[:1], (12, 1)),
+        rng.standard_normal((12, qs.shape[1])).astype(np.float32) * 10,
+    ]
+    outs = [
+        _routed_knn_jit(
+            rs.vectors, rs.ids, rs.block_centroids,
+            jnp.asarray(np.concatenate([qs, pad])),
+            k=5, metric=rs.metric, block=rs.block, probes=4,
+            union=max(2, nb // 3), group=32, b_in=20,
+        )
+        for pad in pads
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(outs[0][1]), np.asarray(outs[1][1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0])
+    )
+
+
 def test_ragged_batch_and_ip_metric():
     """Batch not a multiple of group_size; IP metric path."""
     data, queries = clustered(
