@@ -35,6 +35,13 @@ def save_index(path: str, graph: GraphArrays, metric: MetricType, extra: dict | 
     }
     if extra:
         meta.update(extra)
+    # npz has no bfloat16: np.savez would silently write ml_dtypes
+    # arrays as raw void ('|V2'), which np.load returns un-castable —
+    # store the bits as uint16 and view them back on load (meta["dtype"]
+    # already records the logical dtype)
+    vecs = np.asarray(graph.vectors[:n])
+    if vecs.dtype.kind not in "fiu":
+        vecs = vecs.view(np.uint16)
     # Write through an open file handle: np.savez(path) appends ".npz" to
     # bare paths, but the reference's saveIndex accepts arbitrary
     # filenames (Index.h:481-490) — the file must land at the literal
@@ -42,7 +49,7 @@ def save_index(path: str, graph: GraphArrays, metric: MetricType, extra: dict | 
     with open(path, "wb") as f:
         np.savez(
             f,
-            vectors=np.asarray(graph.vectors[:n]),
+            vectors=vecs,
             links=np.asarray(graph.links[:n]),
             labels=np.asarray(graph.labels[:n]),
             metadata=np.frombuffer(
@@ -60,8 +67,13 @@ def load_index(path: str):
                 f"Index file {path} has format version "
                 f"{meta['format_version']} > supported {_FORMAT_VERSION}"
             )
+        vecs = z["vectors"]
+        if meta.get("dtype") == "bfloat16" and vecs.dtype == np.uint16:
+            import ml_dtypes
+
+            vecs = vecs.view(ml_dtypes.bfloat16)
         graph = graph_from_numpy(
-            z["vectors"],
+            vecs,
             z["links"],
             z["labels"],
             num_nodes=meta["num_nodes"],

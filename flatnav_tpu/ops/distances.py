@@ -373,13 +373,18 @@ def fast_knn(
         jnp.full((b, r), jnp.inf, jnp.float32),
         jnp.zeros((b, r), jnp.int32),
     )
-    (_, cand_i), _ = jax.lax.scan(
+    (cand_k, cand_i), _ = jax.lax.scan(
         scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32)
     )
     # exact rerank of the [B, r] shortlist (f32, or exact int32 for
-    # integer data — query_block_distances dispatches on dtype)
+    # integer data — query_block_distances dispatches on dtype).
+    # Shortlist slots never filled by a valid row (n_valid < r) carry an
+    # inf scan key; keep them inf through the rerank or their id-0 rows
+    # re-score finitely and can outrank real neighbors (same fix as
+    # pq_scan_knn, quantization/pq.py:406-409).
     cand_rows = jnp.take(dataset, cand_i, axis=0)
     exact = query_block_distances(qf, cand_rows, metric)
+    exact = jnp.where(jnp.isinf(cand_k), jnp.inf, exact)
     order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
     return (
         jnp.take_along_axis(exact, order, axis=1),

@@ -34,6 +34,7 @@ import numpy as np
 
 from flatnav_tpu.index.build import (
     _commit_back_edges,
+    _safe_wave_size,
     commit_links,
     select_neighbors,
 )
@@ -117,7 +118,6 @@ def _pq_wave_search_select(
     prune over decoded candidates."""
     qf = new_raw.astype(jnp.float32)
     tables = _adc_tables_impl(centroids, qf, metric)
-    offset = 1.0 if metric == MetricType.IP else 0.0
     beam = pq_beam_search(
         codes,
         links,
@@ -225,9 +225,32 @@ class PQIndex:
         n = data.shape[0]
         if self.num_nodes + n > self._capacity:
             raise RuntimeError("Maximum number of nodes reached.")
+        # the graph arrays over-allocate wave_pad rows sized for MAX_WAVE
+        # (graph.py) — a wider wave would let the final commit's
+        # dynamic_update_slice clamp backward over committed rows
+        max_wave = min(max_wave, MAX_WAVE)
+        # same HBM guard as the raw path (build.add_batch): the prune
+        # decodes a [W, ef+intra, d] f32 candidate block, the same
+        # working-set shape _safe_wave_size models, so a GIST-class d
+        # would otherwise kill the TPU worker
+        m_sel_guard = max(self.max_edges_per_node // 2, 1)
+        max_wave = _safe_wave_size(
+            max_wave,
+            ef_construction=ef_construction,
+            m=self.max_edges_per_node,
+            d=self.pq.dim,
+            expand_factor=1,
+            intra_candidates=2 * m_sel_guard,
+            capacity=self._capacity,
+            table_bytes=self._codes.nbytes + self._links.nbytes,
+        )
         if labels is None:
             labels = np.arange(self.num_nodes, self.num_nodes + n, dtype=np.int32)
         labels = np.asarray(labels, dtype=np.int32)
+        if labels.shape[0] != n:
+            raise ValueError(
+                f"labels length {labels.shape[0]} != data rows {n}"
+            )
         m = self.max_edges_per_node
         m_sel = max(m // 2, 1)
         centroids = self.pq.codebook.centroids
@@ -304,27 +327,45 @@ class PQIndex:
 
     # ---------------------------------------------------------------- search
     def search(self, queries, K: int, ef_search: int, num_initializations: int = 100):
+        from flatnav_tpu.index.search import safe_query_batch
+
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
-        tables = self.pq.adc_tables(queries)
-        beam = pq_beam_search(
-            self._codes,
-            self._links,
-            self._num_nodes,
-            tables,
-            ef=max(ef_search, K),
-            metric=self._metric,
-            num_initializations=num_initializations,
+        b = queries.shape[0]
+        # same HBM guard as the raw path (search.safe_query_batch): chunk
+        # the dispatch when the hop working set would overflow the device
+        # (conservative: models the decoded f32 width, wider than codes)
+        sub = safe_query_batch(
+            b, max(ef_search, K), m=self.max_edges_per_node,
+            d=self.pq.dim,
+            table_bytes=self._codes.nbytes + self._links.nbytes,
         )
-        top_d = beam.dists[:, :K]
-        top_i = beam.ids[:, :K]
-        labels = jnp.where(
-            jnp.isfinite(top_d), jnp.take(self._labels, top_i, axis=0), -1
-        )
-        if self._collect_stats:
-            self._distance_computations += int(beam.dist_computations)
-        return np.asarray(top_d), np.asarray(labels)
+        outs_d, outs_l = [], []
+        for lo in range(0, b, sub):
+            tables = self.pq.adc_tables(queries[lo : lo + sub])
+            beam = pq_beam_search(
+                self._codes,
+                self._links,
+                self._num_nodes,
+                tables,
+                ef=max(ef_search, K),
+                metric=self._metric,
+                num_initializations=num_initializations,
+            )
+            top_d = beam.dists[:, :K]
+            top_i = beam.ids[:, :K]
+            labels = jnp.where(
+                jnp.isfinite(top_d),
+                jnp.take(self._labels, top_i, axis=0), -1,
+            )
+            if self._collect_stats:
+                self._distance_computations += int(beam.dist_computations)
+            outs_d.append(np.asarray(top_d))
+            outs_l.append(np.asarray(labels))
+        if len(outs_d) == 1:
+            return outs_d[0], outs_l[0]
+        return np.concatenate(outs_d), np.concatenate(outs_l)
 
     def search_scan(
         self, queries, K: int, rerank: int = 32, tile_size: int = 32768
@@ -361,7 +402,18 @@ class PQIndex:
 
     # ------------------------------------------------------------------ save
     def save(self, path: str) -> None:
+        import json
+
         n = self.num_nodes
+        # versioned JSON metadata like index/serialize.py (the legacy
+        # positional `meta` array is kept so older readers still work)
+        meta = {
+            "format_version": 1,
+            "metric": self._metric.value,
+            "capacity": self._capacity,
+            "max_edges": self.max_edges_per_node,
+            "num_nodes": n,
+        }
         # Open the file ourselves: np.savez(path) appends ".npz" to bare
         # paths, but save must honor the literal filename (reference
         # saveIndex accepts arbitrary names, Index.h:481-490).
@@ -376,14 +428,29 @@ class PQIndex:
                     [self._capacity, self.max_edges_per_node,
                      1 if self._metric == MetricType.IP else 0]
                 ),
+                metadata=np.frombuffer(
+                    json.dumps(meta).encode("utf-8"), dtype=np.uint8
+                ),
             )
 
     @classmethod
     def load(cls, path: str) -> "PQIndex":
+        import json
+
         from flatnav_tpu.quantization.pq import PQCodebook
 
         with np.load(path) as z:
-            cap, m, is_ip = (int(x) for x in z["meta"])
+            if "metadata" in z.files:
+                meta = json.loads(bytes(z["metadata"]).decode("utf-8"))
+                if meta.get("format_version", 0) > 1:
+                    raise ValueError(
+                        f"PQ index file {path} has format version "
+                        f"{meta['format_version']} > supported 1"
+                    )
+                cap, m = int(meta["capacity"]), int(meta["max_edges"])
+                is_ip = meta["metric"] == MetricType.IP.value
+            else:  # legacy positional metadata
+                cap, m, is_ip = (int(x) for x in z["meta"])
             centroids = jnp.asarray(z["centroids"])
             codes, links, labels = z["codes"], z["links"], z["labels"]
         m_pq, nc, dsub = centroids.shape

@@ -201,3 +201,40 @@ def test_search_exact_matches_ground_truth(rng):
     # exact search is a recall-1.0 upper bound for the graph engine
     g_dists, g_found = index.search(queries, K=k, ef_search=64)
     assert g_dists[:, 0].min() >= dists[:, 0].min() - 1e-5
+
+
+def test_save_load_bfloat16_roundtrip(rng, tmp_path):
+    """npz has no bfloat16: the bits are stored as uint16 and viewed back
+    on load — pre-fix, save silently wrote raw void ('|V2') that
+    load_index could not cast, losing the index."""
+    n, d, k = 400, 16, 5
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((16, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=8,
+        index_data_type=DataType.bfloat16,
+    )
+    index.add(data, ef_construction=32)
+    d0, l0 = index.search(queries, K=k, ef_search=32)
+    path = str(tmp_path / "bf16.npz")
+    index.save(path)
+    reloaded = flatnav_tpu.index.load_index(path)
+    assert reloaded.data_type == DataType.bfloat16
+    d1, l1 = reloaded.search(queries, K=k, ef_search=32)
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_array_equal(d0, d1)
+
+
+def test_search_exact_masks_unfilled_slots(rng):
+    """K > num_nodes: unbeaten result slots must carry label -1 and inf
+    distance (parity with every other search path), not node 0's label."""
+    n, d = 5, 8
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=64, max_edges_per_node=4,
+    )
+    index.add(data, ef_construction=16)
+    dists, labels = index.search_exact(data[:3], K=10)
+    assert np.isinf(dists[:, n:]).all()
+    assert (labels[:, n:] == -1).all()
+    assert (labels[:, :n] >= 0).all()

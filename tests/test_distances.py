@@ -15,6 +15,7 @@ import pytest
 from flatnav_tpu.ops import (
     MetricType,
     brute_force_knn,
+    fast_knn,
     pairwise_distances,
     query_block_distances,
 )
@@ -241,3 +242,19 @@ def test_fast_knn_integer_path(rng, dtype):
         MetricType.L2,
     )
     np.testing.assert_array_equal(np.asarray(fd), np.asarray(want))
+
+
+def test_fast_knn_shortlist_wider_than_table(rng):
+    """Unfilled shortlist slots (n < rerank) carry an inf scan key and
+    must stay inf through the exact rerank — pre-fix their id-0 rows
+    re-scored finitely and could outrank real neighbors."""
+    n, d, k = 20, 16, 10
+    data = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((8, d), dtype=np.float32))
+    fd, fi = fast_knn(data, q, k, rerank=32)
+    gd, gi = brute_force_knn(data, q, k)
+    fd, fi = np.asarray(fd), np.asarray(fi)
+    np.testing.assert_array_equal(fi, np.asarray(gi))
+    np.testing.assert_allclose(fd, np.asarray(gd), rtol=1e-5, atol=1e-5)
+    for row in fi:  # and no junk duplicates
+        assert len(set(row.tolist())) == k

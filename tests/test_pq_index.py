@@ -261,3 +261,13 @@ def test_pq_scan_knn_partial_prefix(clustered_data):
             rerank=16, n_valid=jnp.asarray(n_valid, jnp.int32), **kw
         )
         assert (np.asarray(ids) < n_valid).all()
+
+
+def test_pq_add_rejects_short_labels(clustered_data):
+    data, _ = clustered_data
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:512], n_iters=5
+    )
+    idx = PQIndex(pq, dataset_size=1024, max_edges_per_node=8)
+    with pytest.raises(ValueError, match="labels length"):
+        idx.add(data[:100], ef_construction=16, labels=np.arange(5))
