@@ -67,7 +67,8 @@ def select_neighbors(
     c_i iff fewer than `m` are kept so far and no already-kept c_j satisfies
     dist(c_j, c_i) < dist(q, c_i) (Index.h:739-748).
 
-    Returns (kept_ids [W, m] with -1 padding, kept_count [W]).
+    Returns (kept_ids [W, m] with -1 padding, kept_count [W],
+    kept_dists [W, m] — the back-edge commit orders by these).
 
     When the [W, C, C] pairwise matrix fits a memory budget it is
     precomputed as one MXU einsum, leaving only cheap mask updates in the
@@ -101,9 +102,12 @@ def select_neighbors(
             return pair_d[:, :, i]
         vec_i = jnp.take(cand_vecs, i, axis=1)
         if metric == MetricType.IP:
+            # HIGHEST precision like the precomputed path: near-tie prune
+            # decisions must not depend on which memory path was taken
             return 1.0 - jnp.einsum(
                 "wcd,wd->wc", cand_vecs, vec_i,
                 preferred_element_type=jnp.int32 if is_int else jnp.float32,
+                precision=None if is_int else jax.lax.Precision.HIGHEST,
             ).astype(jnp.float32)
         diff = cand_vecs - vec_i[:, None, :]
         return jnp.sum(diff * diff, axis=-1).astype(jnp.float32)
@@ -482,6 +486,10 @@ def _safe_wave_size(
     cand = ef_construction + intra_candidates
 
     def temp(w: int) -> int:
+        # the dispatch pads every wave to a power-of-two bucket
+        # (add_batch: bucket = _next_pow2(w)) — validate the PADDED width
+        # or a non-pow2 max_wave runs up to ~2x the validated lanes
+        w = max(_next_pow2(w), _MIN_WAVE)
         return (
             _search_temp_bytes(w, ef_construction, em, d, 0, capacity)
             + w * w * 4  # intra-wave pairwise block
@@ -575,6 +583,8 @@ def add_batch(
             "Maximum number of nodes reached. Consider increasing the "
             "`max_node_count` parameter to create a larger index."
         )  # message parity with Index.h:356-359
+    if n == 0:
+        return graph
 
     vectors, links, lab = graph.vectors, graph.links, graph.labels
     num_nodes = graph.num_nodes

@@ -120,6 +120,11 @@ def graph_from_numpy(
     imported .mtx graph, cf. Index::buildGraphLinks Index.h:187-238)."""
     n, d = vectors.shape
     cap = capacity or n
+    if n > cap:
+        raise ValueError(
+            f"{n} committed rows exceed capacity {cap}; the rest of the "
+            f"engine relies on num_nodes <= capacity"
+        )
     rows = cap + wave_pad(cap)
     m = links.shape[1]
     if labels is None:

@@ -62,7 +62,10 @@ from flatnav_tpu.ops.distances import (
 class BeamResults(NamedTuple):
     dists: jax.Array  # [B, ef] ascending, +inf padding
     ids: jax.Array  # [B, ef] node ids (meaningless where dist == +inf)
-    dist_computations: jax.Array  # scalar int64-ish counter (int32)
+    dist_computations: jax.Array  # scalar int32 counter; sums over the
+    # whole dispatch, so one dispatch is bounded to ~2.1e9 evals before
+    # wrap (B=4096 at ef=2048 on 10M is ~2.7e8 — an order of margin).
+    # int64 needs jax_enable_x64, which would widen every index array.
     hops: jax.Array  # scalar: total expansion steps across the batch
 
 
@@ -194,11 +197,19 @@ def _device_mem_limit() -> int | None:
 
 
 def _search_temp_bytes(
-    b: int, ef: int, em: int, d: int, compact_width: int, table_rows: int
+    b: int, ef: int, em: int, d: int, compact_width: int, table_rows: int,
+    hist_width: int = 0, hist_width_default: int = 0,
 ) -> int:
     """Estimated bytes of materialized per-hop intermediates for a B-query
-    dispatch (sum of the terms XLA demonstrably does NOT fuse away)."""
+    dispatch (sum of the terms XLA demonstrably does NOT fuse away).
+
+    hist_width: expanded-id history width (hop_cap * expand_factor);
+    hist_width_default: the width the config would have at max_hops=0 —
+    the membership-compare term charges only growth PAST it, keeping the
+    default-config accounting exactly as empirically calibrated."""
     c = compact_width if (compact_width and compact_width < em) else em
+    default_hist = hist_width_default if hist_width_default else 2 * ef + 128
+    hw = hist_width if hist_width else default_hist
     score = 2 * b * c * d * 4  # gathered rows + distance intermediate (f32)
     # merge-network [B, ef, c] broadcast: counted at 4 bytes/element, not
     # bool — whether XLA keeps the bool compare or materializes an
@@ -207,12 +218,16 @@ def _search_temp_bytes(
     # estimate while the previous day's cached executable of the same
     # shape ran; 4-byte accounting puts it at ~19.5 GB, over the limit)
     merge = b * ef * min(c, ef) * 4
-    hist = b * (2 * ef + 128) * 4  # expanded-id history
+    hist = b * hw * 4  # expanded-id history
+    # the per-hop [B, c, hist] membership compare grows with a
+    # non-default hop cap; only the EXCESS is charged so the accounting
+    # stays exactly as empirically calibrated at the default width
+    member_excess = b * c * max(hw - default_hist, 0) * 4
     vis = (
         b * (-(-table_rows // 32)) * 4 if VISITED_IMPL == "bitmask" else 0
     )
     sorts = 3 * b * (ef + c) * 4  # sort triples (dist, id, flag)
-    return score + merge + hist + vis + sorts
+    return score + merge + hist + member_excess + vis + sorts
 
 
 def safe_query_batch(
@@ -225,6 +240,7 @@ def safe_query_batch(
     compact_width: int = 0,
     table_rows: int = 0,
     table_bytes: int = 0,
+    max_hops: int = 0,
 ) -> int:
     """Largest per-dispatch query sub-batch whose estimated working set
     fits the device; returns `b` unchanged when no limit is known (host
@@ -236,13 +252,23 @@ def safe_query_batch(
     avail = 0.85 * (limit - table_bytes)
     e_f = max(min(expand_factor, ef), 1)
     em = e_f * m
+    # history width tracks the caller's hop cap (beam_search:425) — a
+    # large explicit max_hops grows the visited history and its per-hop
+    # membership compare, which the guard must account for
+    default_cap = max((2 * ef + 128) // e_f, 16)
+    hop_cap = max_hops if max_hops else default_cap
+    hw, hw0 = hop_cap * e_f, default_cap * e_f
     sub = b
     while sub > 1 and _search_temp_bytes(
-        sub, ef, em, d, compact_width, table_rows
+        sub, ef, em, d, compact_width, table_rows, hw, hw0
     ) > avail:
         sub //= 2
-    if _search_temp_bytes(sub, ef, em, d, compact_width, table_rows) > avail:
-        need = _search_temp_bytes(1, ef, em, d, compact_width, table_rows)
+    if _search_temp_bytes(
+        sub, ef, em, d, compact_width, table_rows, hw, hw0
+    ) > avail:
+        need = _search_temp_bytes(
+            1, ef, em, d, compact_width, table_rows, hw, hw0
+        )
         raise ValueError(
             f"search config cannot fit device memory even at batch=1: "
             f"ef={ef}, expand_factor={expand_factor} (E*M={em}), d={d} "
@@ -712,6 +738,34 @@ def beam_search(
         "expand_factor", "compact_width", "m_search",
     ),
 )
+def _batched_search_jit(
+    vectors, links, labels, num_nodes, queries, *,
+    k, ef, metric=MetricType.L2, num_initializations=100, max_hops=0,
+    expand_factor=1, compact_width=0, m_search=0,
+) -> SearchResults:
+    beam = beam_search(
+        vectors,
+        links,
+        num_nodes,
+        queries,
+        ef=max(ef, k),
+        metric=metric,
+        num_initializations=num_initializations,
+        max_hops=max_hops,
+        expand_factor=expand_factor,
+        compact_width=compact_width,
+        m_search=m_search,
+    )
+    top_d = beam.dists[:, :k]
+    top_i = beam.ids[:, :k]
+    top_labels = jnp.where(
+        jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
+    )
+    return SearchResults(
+        top_d, top_labels, beam.dist_computations, beam.hops
+    )
+
+
 def batched_search(
     vectors: jax.Array,
     links: jax.Array,
@@ -738,12 +792,14 @@ def batched_search(
     Memory safety: the query batch is transparently split into
     sub-dispatches when the estimated hop working set would overflow
     device memory (see safe_query_batch) — queries are independent, so
-    results are bit-identical to the unchunked dispatch. A config that
-    cannot fit even one query raises ValueError at trace time instead of
-    kernel-faulting the TPU worker.
+    results are bit-identical to the unchunked dispatch. Chunking happens
+    OUTSIDE the jit boundary: every full-width sub-batch reuses ONE
+    compiled executable instead of inlining a copy of the hop program per
+    chunk into a single program (which multiplied compile time by the
+    chunk count). A config that cannot fit even one query raises
+    ValueError instead of kernel-faulting the TPU worker.
     """
     b = queries.shape[0]
-    ef_c = max(ef, k)
     m_eff = (
         m_search if m_search and m_search < links.shape[1]
         else links.shape[1]
@@ -755,41 +811,31 @@ def batched_search(
     )
     sub = safe_query_batch(
         b,
-        ef_c,
+        max(ef, k),
         m=m_eff,
         d=vectors.shape[1],
         expand_factor=expand_factor,
         compact_width=compact_width,
         table_rows=vectors.shape[0],
         table_bytes=table_bytes,
+        max_hops=max_hops,
     )
-
-    def run(q):
-        beam = beam_search(
-            vectors,
-            links,
-            num_nodes,
-            q,
-            ef=ef_c,
-            metric=metric,
-            num_initializations=num_initializations,
-            max_hops=max_hops,
-            expand_factor=expand_factor,
-            compact_width=compact_width,
-            m_search=m_search,
-        )
-        top_d = beam.dists[:, :k]
-        top_i = beam.ids[:, :k]
-        top_labels = jnp.where(
-            jnp.isfinite(top_d), jnp.take(labels, top_i, axis=0), -1
-        )
-        return SearchResults(
-            top_d, top_labels, beam.dist_computations, beam.hops
-        )
-
+    kw = dict(
+        k=k, ef=ef, metric=metric,
+        num_initializations=num_initializations, max_hops=max_hops,
+        expand_factor=expand_factor, compact_width=compact_width,
+        m_search=m_search,
+    )
     if sub >= b:
-        return run(queries)
-    parts = [run(queries[lo : lo + sub]) for lo in range(0, b, sub)]
+        return _batched_search_jit(
+            vectors, links, labels, num_nodes, queries, **kw
+        )
+    parts = [
+        _batched_search_jit(
+            vectors, links, labels, num_nodes, queries[lo : lo + sub], **kw
+        )
+        for lo in range(0, b, sub)
+    ]
     return SearchResults(
         jnp.concatenate([p.dists for p in parts], axis=0),
         jnp.concatenate([p.labels for p in parts], axis=0),

@@ -251,6 +251,8 @@ class PQIndex:
             raise ValueError(
                 f"labels length {labels.shape[0]} != data rows {n}"
             )
+        if n == 0:
+            return
         m = self.max_edges_per_node
         m_sel = max(m // 2, 1)
         centroids = self.pq.codebook.centroids

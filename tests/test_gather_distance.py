@@ -75,7 +75,7 @@ def test_search_with_pallas_score(rng):
 
     def run():
         fn = jax.jit(
-            S.batched_search.__wrapped__,
+            S._batched_search_jit.__wrapped__,
             static_argnames=(
                 "k", "ef", "metric", "num_initializations", "max_hops",
                 "expand_factor",

@@ -127,7 +127,7 @@ def test_membership_impls_bit_identical(rng, expand_factor):
         S.MEMBERSHIP_IMPL = impl
         try:
             fn = jax.jit(
-                S.batched_search.__wrapped__,
+                S._batched_search_jit.__wrapped__,
                 static_argnames=(
                     "k", "ef", "metric", "num_initializations", "max_hops",
                     "expand_factor",
@@ -191,7 +191,7 @@ def test_loop_impl_matches_while(rng, loop_impl):
         S.LOOP_IMPL = impl
         try:
             fn = jax.jit(
-                S.batched_search.__wrapped__,
+                S._batched_search_jit.__wrapped__,
                 static_argnames=(
                     "k", "ef", "metric", "num_initializations", "max_hops",
                     "expand_factor",

@@ -99,7 +99,6 @@ def test_chunked_results_bit_identical(monkeypatch):
     n_nodes = jnp.asarray(512, jnp.int32)
 
     monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
-    batched_search.clear_cache()
     full = batched_search(
         vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2
     )
@@ -110,8 +109,8 @@ def test_chunked_results_bit_identical(monkeypatch):
         + _search_temp_bytes(16, 32, 8, 16, 0, 512) / 0.85 * 1.01
     )
     monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", str(limit))
-    # env takes priority even off-TPU; force re-trace so the guard reruns
-    batched_search.clear_cache()
+    # env takes priority even off-TPU; the guard runs eagerly per call
+    # (chunking lives outside the jit boundary), no cache clear needed
     sub = safe_query_batch(
         64, 32, m=8, d=16,
         table_rows=512,
@@ -121,7 +120,6 @@ def test_chunked_results_bit_identical(monkeypatch):
     chunked = batched_search(
         vecs, links, labels, n_nodes, q, k=5, ef=32, metric=MetricType.L2
     )
-    batched_search.clear_cache()
 
     np.testing.assert_array_equal(
         np.asarray(full.labels), np.asarray(chunked.labels)
@@ -221,3 +219,67 @@ def test_m_search_prefix_degree(monkeypatch):
     assert (np.diff(hd, axis=1) >= 0).all()
     # fewer links expanded -> no more distance computations than full
     assert int(half.dist_computations) <= int(full.dist_computations)
+
+
+def test_guard_accounts_for_max_hops(monkeypatch):
+    """A huge explicit max_hops grows the visited history and its per-hop
+    membership compare; the guard must shrink the sub-batch accordingly
+    (pre-fix it hardcoded the default history width and passed configs
+    that kernel-faulted)."""
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "2e9")
+    from flatnav_tpu.index.search import safe_query_batch
+
+    kw = dict(m=32, d=128, expand_factor=16, table_rows=1_000_000,
+              table_bytes=512_000_000)
+    sub_default = safe_query_batch(4096, 128, **kw)
+    sub_big = safe_query_batch(4096, 128, max_hops=20_000, **kw)
+    assert sub_big < sub_default
+
+
+def test_wave_guard_validates_padded_bucket(monkeypatch):
+    """The dispatch pads every wave to a power-of-two bucket; the guard
+    must validate the PADDED width (pre-fix a non-pow2 max_wave ran up to
+    ~2x more lanes than validated)."""
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", "1e9")
+    from flatnav_tpu.index.build import _next_pow2, _safe_wave_size
+
+    w = _safe_wave_size(
+        5000, ef_construction=64, m=16, d=128, expand_factor=16,
+        intra_candidates=16, capacity=100_000, table_bytes=100_000_000,
+    )
+    # whatever the guard returns, its padded bucket must also pass
+    w2 = _safe_wave_size(
+        _next_pow2(w), ef_construction=64, m=16, d=128, expand_factor=16,
+        intra_candidates=16, capacity=100_000, table_bytes=100_000_000,
+    )
+    assert _next_pow2(w) <= _next_pow2(w2) * 2 and w <= 5000
+
+
+def test_empty_add_is_a_noop(rng):
+    from flatnav_tpu.index.build import add_batch
+    from flatnav_tpu.index.graph import make_empty_graph
+
+    g = make_empty_graph(100, 8, 4)
+    g2 = add_batch(
+        g, np.empty((0, 8), np.float32), np.empty(0, np.int32),
+        ef_construction=16, metric=MetricType.L2,
+    )
+    assert int(g2.num_nodes) == 0
+    # and on a non-empty index too
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    g2 = add_batch(g2, data, np.arange(50), ef_construction=16,
+                   metric=MetricType.L2)
+    g3 = add_batch(
+        g2, np.empty((0, 8), np.float32), np.empty(0, np.int32),
+        ef_construction=16, metric=MetricType.L2,
+    )
+    assert int(g3.num_nodes) == 50
+
+
+def test_graph_from_numpy_rejects_overflow(rng):
+    from flatnav_tpu.index.graph import graph_from_numpy
+
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    links = np.zeros((20, 4), np.int32)
+    with pytest.raises(ValueError, match="exceed capacity"):
+        graph_from_numpy(vecs, links, capacity=10)
