@@ -25,7 +25,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_LIB_DIR, "flatnav_native.cpp")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
+        # rebuild on source changes too, not just on a missing .so — a
+        # stale library silently runs old code against new argtypes
         try:
             subprocess.run(
                 ["bash", os.path.join(_LIB_DIR, "build_native.sh")],
@@ -34,7 +42,8 @@ def _load() -> Optional[ctypes.CDLL]:
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None  # no library at all; else fall through stale
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -139,6 +148,10 @@ def npy_write(path: str, arr: np.ndarray) -> bool:
     lib = _load()
     if lib is None:
         return False
+    if arr.ndim > 2:
+        raise ValueError(
+            f"npy_write handles 1-D/2-D arrays, got shape {arr.shape}"
+        )
     arr = np.ascontiguousarray(arr)
     key = {"float32": "f4", "uint8": "u1", "int8": "i1", "int32": "i4"}.get(
         arr.dtype.name

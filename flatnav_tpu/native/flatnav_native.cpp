@@ -23,6 +23,7 @@
 // Build: see build_native.sh (g++ -O3 -shared -fPIC).
 
 #include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -256,9 +257,11 @@ int64_t fn_read_mtx(const char* path, int64_t n, int64_t m,
   int64_t applied = 0;
   long long a, b;
   while (fscanf(f, "%lld %lld", &a, &b) == 2) {
-    // tolerate an optional weight column
+    // tolerate an optional weight column (and CRLF line endings: a '\r'
+    // left in the stream would otherwise be ungetc'd and make the %lf
+    // probe consume the NEXT edge's source id as a weight)
     int c = fgetc(f);
-    while (c == ' ' || c == '\t') c = fgetc(f);
+    while (c == ' ' || c == '\t' || c == '\r') c = fgetc(f);
     if (c != '\n' && c != EOF) {
       ungetc(c, f);
       double w;
@@ -292,6 +295,12 @@ int fn_npy_header(const char* path, int64_t* n_out, int64_t* d_out,
     fclose(f);
     return -1;
   }
+  // v1.x only: v2+/v3+ use a 4-byte header length this parser does not
+  // speak — reject instead of misreading the data offset
+  if (magic[6] != 1) {
+    fclose(f);
+    return -2;
+  }
   unsigned short hlen;
   if (fread(&hlen, 2, 1, f) != 1) {
     fclose(f);
@@ -314,8 +323,22 @@ int fn_npy_header(const char* path, int64_t* n_out, int64_t* d_out,
   else if (descr == "|i1") strcpy(dtype_out, "i1");
   else if (descr == "<i4") strcpy(dtype_out, "i4");
   else return -2;
+  // C-order only (this loader hands the raw buffer to row-major numpy)
+  if (header.find("'fortran_order': True") != std::string::npos) return -2;
   long long nn = 0, dd = 1;
   auto p1 = header.find('(', spos);
+  if (p1 == std::string::npos) return -1;
+  auto p2 = header.find(')', p1);
+  if (p2 == std::string::npos) return -1;
+  // reject >2-D shapes: "(n,)" and "(n, d)" have <= 1 comma before a digit
+  int dims = 0;
+  for (auto i = p1 + 1; i < p2; i++) {
+    if (isdigit((unsigned char)header[i])) {
+      dims++;
+      while (i < p2 && isdigit((unsigned char)header[i])) i++;
+    }
+  }
+  if (dims > 2) return -2;
   if (sscanf(header.c_str() + p1, "(%lld, %lld", &nn, &dd) < 1) return -1;
   *n_out = nn;
   *d_out = dd;
@@ -326,7 +349,7 @@ int fn_npy_read(const char* path, void* dst, int64_t nbytes) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   unsigned char pre[10];
-  if (fread(pre, 1, 10, f) != 10) {
+  if (fread(pre, 1, 10, f) != 10 || pre[6] != 1) {  // v1.x only, see header
     fclose(f);
     return -1;
   }

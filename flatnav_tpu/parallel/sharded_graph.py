@@ -148,6 +148,44 @@ def sharded_search(
     if rows % n_model:
         raise ValueError(f"{rows} table rows not divisible by {n_model}")
 
+    # memory guard at PER-CHIP width: the beam/merge/score intermediates
+    # are replicated across the model axis (only the table shrinks), so a
+    # config that overflows one chip kills the worker exactly like the
+    # single-device case (see search.safe_query_batch). Chunk the global
+    # batch outside the shard_map dispatch.
+    from flatnav_tpu.index.search import safe_query_batch
+
+    n_data = mesh.shape[DATA_AXIS] if DATA_AXIS in mesh.shape else 1
+    b = queries.shape[0]
+    sub_local = safe_query_batch(
+        max(b // max(n_data, 1), 1), max(ef, k),
+        m=graph.links.shape[1], d=graph.vectors.shape[1],
+        expand_factor=expand_factor,
+        table_rows=rows // n_model,
+        table_bytes=(
+            graph.vectors.size * graph.vectors.dtype.itemsize
+            + graph.links.size * 4 + graph.labels.size * 4
+        ) // n_model,
+        max_hops=max_hops,
+    )
+    sub = sub_local * max(n_data, 1)
+    if sub < b:
+        parts = [
+            sharded_search(
+                graph, queries[lo : lo + sub], mesh, k=k, ef=ef,
+                metric=metric, num_initializations=num_initializations,
+                max_hops=max_hops, expand_factor=expand_factor,
+            )
+            for lo in range(0, b, sub)
+        ]
+        return SearchResults(
+            jnp.concatenate([p.dists for p in parts], axis=0),
+            jnp.concatenate([p.labels for p in parts], axis=0),
+            sum((p.dist_computations for p in parts[1:]),
+                parts[0].dist_computations),
+            sum((p.hops for p in parts[1:]), parts[0].hops),
+        )
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,

@@ -18,7 +18,11 @@ import functools
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flatnav_tpu.index.search import SearchResults, batched_search
+from flatnav_tpu.index.search import (
+    SearchResults,
+    _batched_search_jit,
+    safe_query_batch,
+)
 from flatnav_tpu.ops.distances import MetricType
 from flatnav_tpu.parallel.sharding import DATA_AXIS
 
@@ -46,7 +50,11 @@ def _sharded_search_impl(
     links = jax.lax.with_sharding_constraint(links, rep)
     labels = jax.lax.with_sharding_constraint(labels, rep)
     queries = jax.lax.with_sharding_constraint(queries, shard)
-    res = batched_search(
+    # the inner jitted search, not the guarded wrapper: the guard would
+    # model the GLOBAL batch (each device only holds b/n_data queries)
+    # and inline per-chunk copies of the hop program into this trace —
+    # chunking is the caller's job, per device (data_parallel_search)
+    res = _batched_search_jit(
         vectors,
         links,
         labels,
@@ -85,15 +93,37 @@ def data_parallel_search(
         raise ValueError(
             f"query batch {b} not divisible by data axis {n_data}"
         )
-    return _sharded_search_impl(
-        graph.vectors,
-        graph.links,
-        graph.labels,
-        graph.num_nodes,
-        queries,
-        mesh=mesh,
-        k=k,
-        ef=ef,
-        metric=metric,
-        num_initializations=num_initializations,
+    # memory guard at PER-DEVICE width (the graph is replicated, so each
+    # chip pays the full hop working set for its b/n_data query shard);
+    # chunk the global batch outside the jit like batched_search does
+    table_bytes = (
+        graph.vectors.size * graph.vectors.dtype.itemsize
+        + graph.links.size * 4 + graph.labels.size * 4
+    )
+    sub_local = safe_query_batch(
+        b // n_data, max(ef, k), m=graph.links.shape[1],
+        d=graph.vectors.shape[1],
+        table_rows=graph.vectors.shape[0], table_bytes=table_bytes,
+    )
+    kw = dict(mesh=mesh, k=k, ef=ef, metric=metric,
+              num_initializations=num_initializations)
+
+    def run(q):
+        return _sharded_search_impl(
+            graph.vectors, graph.links, graph.labels, graph.num_nodes,
+            q, **kw,
+        )
+
+    sub = sub_local * n_data
+    if sub >= b:
+        return run(queries)
+    import jax.numpy as jnp
+
+    parts = [run(queries[lo : lo + sub]) for lo in range(0, b, sub)]
+    return SearchResults(
+        jnp.concatenate([p.dists for p in parts], axis=0),
+        jnp.concatenate([p.labels for p in parts], axis=0),
+        sum((p.dist_computations for p in parts[1:]),
+            parts[0].dist_computations),
+        sum((p.hops for p in parts[1:]), parts[0].hops),
     )

@@ -35,8 +35,14 @@ def _init_kmeanspp(data: np.ndarray, k: int, rng: np.random.Generator):
     centroids[0] = data[rng.integers(n)]
     d2 = ((data - centroids[0]) ** 2).sum(1)
     for i in range(1, k):
-        probs = d2 / max(d2.sum(), 1e-12)
-        centroids[i] = data[rng.choice(n, p=probs)]
+        total = d2.sum()
+        if total > 1e-12:
+            centroids[i] = data[rng.choice(n, p=d2 / total)]
+        else:
+            # degenerate: every remaining point coincides with a chosen
+            # centroid (fewer than k distinct rows) — fall back to uniform
+            # sampling instead of crashing on an all-zero distribution
+            centroids[i] = data[rng.integers(n)]
         d2 = np.minimum(d2, ((data - centroids[i]) ** 2).sum(1))
     return centroids
 

@@ -251,7 +251,6 @@ def score_codes(tables: jax.Array, codes: jax.Array) -> jax.Array:
 
     sum over subquantizers of table[b, m, codes[b, c, m]].
     """
-    c = codes.shape[1]
     idx = codes.astype(jnp.int32).swapaxes(1, 2)  # [B, M_pq, C]
     looked = jnp.take_along_axis(tables, idx, axis=2)  # [B, M_pq, C]
     return looked.sum(axis=1)

@@ -152,3 +152,35 @@ def test_model_sharded_build_bit_identical():
     np.testing.assert_array_equal(
         np.asarray(res.labels), np.asarray(res0.labels)
     )
+
+
+def test_sharded_paths_chunk_under_memory_guard(small_graph, monkeypatch):
+    """With a memory limit that forces chunking, both sharded paths must
+    return results identical to the unchunked single-device search (the
+    guard chunks OUTSIDE the dispatch; pre-fix neither path had one and a
+    too-large config kernel-faulted the worker)."""
+    g, queries = small_graph
+    q = jnp.asarray(queries)
+    base = batched_search(
+        g.vectors, g.links, g.labels, g.num_nodes, q, k=5, ef=32,
+        metric=MetricType.L2,
+    )
+    table = (
+        g.vectors.size * 4 + g.links.size * 4 + g.labels.size * 4
+    )
+    from flatnav_tpu.index.search import _search_temp_bytes
+
+    limit = int(table + _search_temp_bytes(4, 32, 8, 24, 0, 1024) / 0.85 * 1.05)
+    monkeypatch.setenv("FLATNAV_TPU_MEM_LIMIT", str(limit))
+
+    mesh_dp = make_mesh(data=8, model=1)
+    res = data_parallel_search(g, q, mesh_dp, k=5, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(res.labels), np.asarray(base.labels)
+    )
+
+    mesh_tp = make_mesh(data=2, model=4)
+    res = sharded_search(g, q, mesh_tp, k=5, ef=32)
+    np.testing.assert_array_equal(
+        np.asarray(res.labels), np.asarray(base.labels)
+    )
