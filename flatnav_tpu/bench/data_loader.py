@@ -44,40 +44,44 @@ class NpyDatasetLoader(DatasetLoader):
 
     def load_data(self):
         train = np.load(self.train_path, mmap_mode="r")
-        if self.limit is not None:
-            train = train[self.offset : self.offset + self.limit]
+        end = None if self.limit is None else self.offset + self.limit
+        train = train[self.offset : end]
         queries = np.load(self.queries_path)
         gtruth = np.load(self.gtruth_path)
         return np.asarray(train), queries, gtruth
 
 
-def _read_vecs(path: str, dtype, elem_size: int):
+def _read_vecs(path: str, dtype, elem_size: int,
+               offset: int = 0, limit: Optional[int] = None):
     """TexMex .{i,b,f}vecs: each row is [int32 dim][dim elements]
-    (data_loader.py:7-47)."""
+    (data_loader.py:7-47). Only the [offset, offset+limit) row range is
+    copied out of the memmap — a 100M-row base file must never be
+    materialized whole."""
     with open(path, "rb") as f:
         dim = np.frombuffer(f.read(4), dtype=np.int32)[0]
     row_bytes = 4 + dim * elem_size
     n = os.path.getsize(path) // row_bytes
+    count = n - offset if limit is None else min(limit, n - offset)
     raw = np.memmap(path, dtype=np.uint8, mode="r", shape=(n, row_bytes))
-    return np.ascontiguousarray(raw[:, 4:]).view(dtype).reshape(n, dim)
+    rows = raw[offset : offset + count, 4:]
+    return np.ascontiguousarray(rows).view(dtype).reshape(count, dim)
 
 
 class BvecsDatasetLoader(DatasetLoader):
     """TexMex format: bvecs (uint8) train/queries, ivecs ground truth."""
 
-    def _load(self, path: str):
+    def _load(self, path: str, offset: int = 0,
+              limit: Optional[int] = None):
         if path.endswith(".bvecs"):
-            return _read_vecs(path, np.uint8, 1)
+            return _read_vecs(path, np.uint8, 1, offset, limit)
         if path.endswith(".ivecs"):
-            return _read_vecs(path, np.int32, 4)
+            return _read_vecs(path, np.int32, 4, offset, limit)
         if path.endswith(".fvecs"):
-            return _read_vecs(path, np.float32, 4)
+            return _read_vecs(path, np.float32, 4, offset, limit)
         raise ValueError(f"unsupported TexMex file: {path}")
 
     def load_data(self):
-        train = self._load(self.train_path)
-        if self.limit is not None:
-            train = train[self.offset : self.offset + self.limit]
+        train = self._load(self.train_path, self.offset, self.limit)
         return train, self._load(self.queries_path), self._load(self.gtruth_path)
 
 
@@ -128,7 +132,7 @@ def get_data_loader(
     """Extension-based factory (data_loader.py:222-243)."""
     for cls, exts in (
         (NpyDatasetLoader, (".npy",)),
-        (BvecsDatasetLoader, (".bvecs", ".fvecs")),
+        (BvecsDatasetLoader, (".bvecs", ".fvecs", ".ivecs")),
         (BinaryDatasetLoader, (".fbin", ".u8bin", ".i8bin")),
     ):
         if any(train_path.endswith(e) for e in exts):

@@ -50,15 +50,23 @@ class MetricManager:
 metric_manager = MetricManager()
 
 
-@metric_manager.register("recall")
-def recall(ctx: MetricContext) -> float:
-    k = ctx.found_labels.shape[1]
-    truth = ctx.ground_truth[:, :k]
+def recall_at_k(found: np.ndarray, truth: np.ndarray) -> float:
+    """recall@k over the columns BOTH sides actually have: when the
+    ground-truth file stores fewer neighbors than k, clamping only the
+    truth side would let any superset score 1.0 — clamp both (the shared
+    definition; tools/query.py uses this too)."""
+    k = min(found.shape[1], truth.shape[1])
+    found, truth = found[:, :k], truth[:, :k]
     hits = sum(
         len(set(f.tolist()) & set(t.tolist()))
-        for f, t in zip(ctx.found_labels, truth)
+        for f, t in zip(found, truth)
     )
     return hits / truth.size
+
+
+@metric_manager.register("recall")
+def recall(ctx: MetricContext) -> float:
+    return recall_at_k(ctx.found_labels, ctx.ground_truth)
 
 
 @metric_manager.register("qps")

@@ -65,6 +65,9 @@ class HnswAdapter:
         return dists, labels
 
     def get_query_distance_computations(self) -> int:
+        # the forked hnswlib's getter drains on read, same semantics as
+        # Index (the reference sums per-query reads,
+        # experiments/run-benchmark.py:95-98)
         getter = getattr(self._hnsw, "get_distance_computations", None)
         return int(getter()) if getter is not None else 0
 
@@ -109,6 +112,7 @@ class PQScanAdapter:
         self._pq = pq
         self._codes = codes
         self._rerank = rerank
+        self._dc = 0
 
     def search(self, queries, K: int, ef_search: int):
         del ef_search
@@ -125,7 +129,14 @@ class PQScanAdapter:
             rerank=self._rerank, n_valid=g.num_nodes,
             vectors=g.vectors, queries=jnp.asarray(queries),
         )
+        # the ADC scan scores every committed code per query, plus the
+        # raw-vector rerank of the shortlist
+        self._dc += queries.shape[0] * (int(g.num_nodes) + self._rerank)
         return np.asarray(d), np.asarray(ids)
+
+    def get_query_distance_computations(self) -> int:
+        total, self._dc = self._dc, 0
+        return total
 
     def __getattr__(self, name):
         return getattr(self._index, name)
@@ -224,9 +235,17 @@ def compute_metrics(
     batch_size: int,
     build_seconds: float,
 ) -> dict:
-    """Timed search + metric registry (run-benchmark.py:38-124)."""
+    """Timed search + metric registry (run-benchmark.py:38-124).
+
+    One untimed warmup batch runs first: on TPU the first dispatch of a
+    new shape pays a multi-second XLA compile that would otherwise land
+    in qps and the latency tail. Latencies are per-batch wall time
+    divided by the batch's query count — amortized per-query latency at
+    this batch size (the reference times one query per call; a batched
+    engine's dispatch granularity is the batch)."""
     nq = queries.shape[0]
-    index.get_query_distance_computations()  # reset
+    index.search(queries[:batch_size], K=k, ef_search=ef_search)  # warmup
+    index.get_query_distance_computations()  # reset (incl. warmup's)
     latencies = []
     found = np.empty((nq, k), np.int64)
     t0 = time.time()
@@ -236,7 +255,7 @@ def compute_metrics(
             queries[lo : lo + batch_size], K=k, ef_search=ef_search
         )
         found[lo : lo + labels.shape[0]] = labels
-        latencies.append(time.time() - tb)
+        latencies.append((time.time() - tb) / labels.shape[0])
     total = time.time() - t0
     ctx = MetricContext(
         index=index,
@@ -359,6 +378,9 @@ def _append_metrics(path: str, row: dict):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
+    from flatnav_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # reruns of a grid skip recompiles
     args = parse_args(argv)
     rows = run_experiment(args)
     if not args.no_plot:

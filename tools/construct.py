@@ -45,8 +45,18 @@ def main():
     ap.add_argument("m", type=int, help="max edges per node (M)")
     ap.add_argument("ef_construction", type=int)
     ap.add_argument("output", help="output index file (.npz)")
-    ap.add_argument("--data-type", default="float32")
+    ap.add_argument(
+        "--data-type", default="float32",
+        choices=["float32", "uint8", "int8", "float16", "bfloat16"],
+    )
     ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument(
+        "--quantized", action="store_true",
+        help="product-quantized build (PQIndex; reference "
+             "construct_npy.cpp:61-75)",
+    )
+    ap.add_argument("--pq-m", type=int, default=8,
+                    help="PQ subquantizers (with --quantized)")
     args = ap.parse_args()
 
     import flatnav_tpu
@@ -57,6 +67,25 @@ def main():
         data = data[: args.limit]
     n, dim = data.shape
     print(f"loaded {n} x {dim} {data.dtype} vectors from {args.data}")
+
+    if args.quantized:
+        from flatnav_tpu.ops import MetricType
+        from flatnav_tpu.quantization import PQIndex, ProductQuantizer
+
+        metric = MetricType.L2 if args.metric == 0 else MetricType.IP
+        t0 = time.time()
+        pq = ProductQuantizer(
+            dim=dim, num_subquantizers=args.pq_m, metric=metric
+        ).train(np.asarray(data[: min(n, 262_144)], np.float32))
+        print(f"PQ train time: {time.time() - t0:.1f}s")
+        index = PQIndex(pq, dataset_size=n, max_edges_per_node=args.m)
+        t0 = time.time()
+        index.add(np.asarray(data, np.float32),
+                  ef_construction=args.ef_construction)
+        print(f"build time: {time.time() - t0:.1f}s")
+        index.save(args.output)
+        print(f"saved PQ index to {args.output}")
+        return
 
     index = flatnav_tpu.index.create(
         distance_type="l2" if args.metric == 0 else "angular",

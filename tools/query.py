@@ -57,11 +57,9 @@ def main():
         _, labels = index.search(queries, K=args.k, ef_search=ef)
         total = time.time() - t0
         k = min(args.k, gtruth.shape[1])
-        hits = sum(
-            len(set(f[:k].tolist()) & set(t[:k].tolist()))
-            for f, t in zip(labels, gtruth)
-        )
-        recall = hits / (nq * k)
+        from flatnav_tpu.bench.metrics import recall_at_k
+
+        recall = recall_at_k(labels, gtruth)  # shared clamped definition
         print(
             f"ef_search={ef}: recall@{k}={recall:.4f} "
             f"qps={nq / total:.0f} mean_latency={total / nq * 1e6:.1f}us"
