@@ -67,6 +67,45 @@ def test_data_loader_binary_formats(tmp_path, rng):
             f.write(row.tobytes())
     got = _read_vecs(str(p2), np.float32, 4)
     np.testing.assert_array_equal(got, fv)
+    # range reads copy only the requested rows (offset honored even
+    # without a limit — pre-fix it was silently ignored)
+    got = _read_vecs(str(p2), np.float32, 4, offset=5, limit=8)
+    np.testing.assert_array_equal(got, fv[5:13])
+    got = _read_vecs(str(p2), np.float32, 4, offset=15)
+    np.testing.assert_array_equal(got, fv[15:])
+
+    # .ivecs resolves through the extension factory (the TexMex
+    # ground-truth format; pre-fix get_data_loader rejected it)
+    iv = rng.integers(0, 100, (6, 4)).astype(np.int32)
+    p3 = tmp_path / "gt.ivecs"
+    with open(p3, "wb") as f:
+        for row in iv:
+            f.write(np.asarray([4], np.int32).tobytes())
+            f.write(row.tobytes())
+    loader = get_data_loader(str(p3), str(p3), str(p3))
+    _, _, gt = loader.load_data()
+    np.testing.assert_array_equal(gt, iv)
+
+
+def test_npy_loader_offset_without_limit(npy_triplet):
+    paths, _ = npy_triplet
+    loader = get_data_loader(
+        paths["train"], paths["queries"], paths["gtruth"], offset=1100
+    )
+    train, _, _ = loader.load_data()
+    assert train.shape[0] == 100  # 1200 rows - offset
+
+
+def test_recall_clamps_both_sides(rng):
+    """recall@k against a ground-truth file with fewer than k columns
+    must clamp the found side too (pre-fix any superset scored 1.0)."""
+    from flatnav_tpu.bench.metrics import recall_at_k
+
+    truth = np.asarray([[1, 2]])
+    found_good = np.asarray([[1, 2, 9, 9, 9]])
+    found_bad = np.asarray([[9, 9, 9, 1, 2]])
+    assert recall_at_k(found_good, truth) == 1.0
+    assert recall_at_k(found_bad, truth) == 0.0
 
 
 def test_run_benchmark_end_to_end(npy_triplet):
