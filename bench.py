@@ -69,6 +69,12 @@ if os.environ.get("JAX_PLATFORMS"):
 
 from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
 
+# The driver may run this in a fresh session where ~/.cache was wiped; the
+# committed in-repo cache keeps the driver's run warm (compiled TPU
+# executables for exactly the bench shapes). FLATNAV_TPU_CACHE still wins.
+os.environ.setdefault(
+    "FLATNAV_TPU_CACHE", os.path.join(_REPO, ".bench_compile_cache")
+)
 enable_compilation_cache()
 
 import jax.numpy as jnp  # noqa: E402
