@@ -83,7 +83,12 @@ from flatnav_tpu.bench.synth import clustered  # noqa: E402
 from flatnav_tpu.index import batched_search  # noqa: E402
 from flatnav_tpu.index.build import add_batch  # noqa: E402
 from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
-from flatnav_tpu.ops import MetricType, brute_force_knn, fast_knn  # noqa: E402
+from flatnav_tpu.ops import (  # noqa: E402
+    MetricType,
+    brute_force_knn,
+    fast_knn,
+    fused_knn,
+)
 
 # Reference single-core QPS fallback when bench_ref cannot run (generous
 # estimate for a modern AVX512 core; flagged baseline_measured=false).
@@ -223,13 +228,17 @@ def _time_only(args):
     times = []
     for rep in range(args.repeats + 1):  # +1 warmup (cached compile load)
         t0 = time.time()
-        if args.engine in ("exact", "fast"):
-            knn = brute_force_knn if args.engine == "exact" else (
-                lambda v, q, k, m, n_valid: fast_knn(
+        if args.engine in ("exact", "fast", "fused"):
+            knn = {
+                "exact": brute_force_knn,
+                "fast": lambda v, q, k, m, n_valid: fast_knn(
                     v, q, k, m, tile_size=262144, rerank=32,
                     n_valid=n_valid,
-                )
-            )
+                ),
+                "fused": lambda v, q, k, m, n_valid: fused_knn(
+                    v, q, k, m, rerank=32, n_valid=n_valid,
+                ),
+            }[args.engine]
             pend = [
                 knn(g.vectors, q_dev[lo : lo + args.batch], args.k,
                     metric, n_valid=g.num_nodes)
@@ -288,7 +297,7 @@ def main():
     # print {'qps': ...} (used by the parent bench for phase redraws)
     ap.add_argument("--time-only", action="store_true")
     ap.add_argument("--engine", default="graph",
-                    choices=["graph", "exact", "fast"])
+                    choices=["graph", "exact", "fast", "fused"])
     ap.add_argument("--index", default="/tmp/bench_index.npz")
     ap.add_argument("--queries-file", default="/tmp/bench_queries.npy")
     ap.add_argument("--ef-search", type=int, default=128)
@@ -476,13 +485,17 @@ def main():
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
-            if engine in ("exact", "fast"):
-                knn = brute_force_knn if engine == "exact" else (
-                    lambda v, q, k, m, n_valid: fast_knn(
+            if engine in ("exact", "fast", "fused"):
+                knn = {
+                    "exact": brute_force_knn,
+                    "fast": lambda v, q, k, m, n_valid: fast_knn(
                         v, q, k, m, tile_size=262144, rerank=32,
                         n_valid=n_valid,
-                    )
-                )
+                    ),
+                    "fused": lambda v, q, k, m, n_valid: fused_knn(
+                        v, q, k, m, rerank=32, n_valid=n_valid,
+                    ),
+                }[engine]
                 pend = [
                     knn(g.vectors, q_dev[lo : lo + args.batch], args.k,
                         MetricType.L2, n_valid=g.num_nodes)
@@ -560,6 +573,26 @@ def main():
     # that the driver records exactly what this process prints.
     faults = {}
 
+    # fused scan (Pallas matmul+bucket-min in VMEM, ops/fused_scan.py —
+    # the [B, N] key matrix never touches HBM; phase A measured AT the
+    # device's square-matmul peak): recall MEASURED like any ANN engine
+    fused_recall, fused_qps = 0.0, 0.0
+    try:
+        fused_found = np.concatenate([
+            np.asarray(fused_knn(
+                g.vectors, q_dev[lo : lo + args.batch], args.k,
+                MetricType.L2, rerank=32, n_valid=g.num_nodes,
+            )[1])
+            for lo in range(0, args.num_queries, args.batch)
+        ])
+        fused_recall = _recall(fused_found, gt)
+        _log(f"fused-scan recall: {fused_recall:.4f}")
+        if fused_recall >= args.target_recall:
+            fused_qps = measure("fused", 0, 0)
+    except Exception as e:
+        faults["fused"] = repr(e)
+        _log(f"fused engine FAULTED: {e!r}")
+
     # two-phase scan (bf16 + approx_min_k shortlist + exact rerank):
     # recall is MEASURED over the full query set like any ANN engine
     fast_recall, fast_qps = 0.0, 0.0
@@ -620,6 +653,7 @@ def main():
         ("graph", graph_qps, graph_recall, graph_recall_d),
         ("exact", exact_qps, 1.0, 1.0),
         ("fast", fast_qps, fast_recall, fast_recall),
+        ("fused", fused_qps, fused_recall, fused_recall),
     ]
     engine, qps, recall, recall_d = max(
         engine_points, key=lambda p: p[1]
@@ -639,6 +673,8 @@ def main():
             qps = retime(engine, 0, 0, 0, 0, qps)
             if engine == "exact":
                 exact_qps = qps
+            elif engine == "fused":
+                fused_qps = qps
             else:
                 fast_qps = qps
     except Exception as e:
@@ -671,6 +707,8 @@ def main():
                 "exact_qps": round(exact_qps, 1),
                 "fast_qps": round(fast_qps, 1),
                 "fast_recall": round(fast_recall, 4),
+                "fused_qps": round(fused_qps, 1),
+                "fused_recall": round(fused_recall, 4),
                 "graph_qps": round(graph_qps, 1),
                 "graph_recall": round(graph_recall, 4),
                 "ef_search": chosen_ef,

@@ -55,6 +55,7 @@ from flatnav_tpu.ops import (  # noqa: E402
     MetricType,
     brute_force_knn,
     fast_knn,
+    fused_knn,
 )
 
 CONFIGS = {
@@ -158,7 +159,7 @@ def main():
             outs.append(np.asarray(r.labels))
         return np.concatenate(outs, 0)
 
-    exact = fast = None
+    exact = fast = fused = None
     if not args.skip_scan_engines:
         def run_engine(fn):
             outs = []
@@ -178,6 +179,9 @@ def main():
             g.vectors, q, K, metric, tile_size=fast_tile, rerank=32,
             n_valid=g.num_nodes,
         )
+        fu = lambda q: fused_knn(
+            g.vectors, q, K, metric, rerank=32, n_valid=g.num_nodes,
+        )
         # Engine points persist like sweep rows: a worker fault here must
         # not wedge the relaunch loop before the graph sweep, and a
         # relaunch must not re-attempt a faulted (or finished) engine.
@@ -186,7 +190,7 @@ def main():
         if os.path.exists(eng_path) and not args.rebuild:
             with open(eng_path) as f:
                 eng = json.load(f)
-        for name, fn in (("exact", ex), ("fast", fa)):
+        for name, fn in (("exact", ex), ("fast", fa), ("fused", fu)):
             if name in eng:
                 log(f"{name} engine: resuming recorded point {eng[name]}")
                 continue
@@ -209,6 +213,7 @@ def main():
                 json.dump(eng, f)
             log(f"{name} engine: {eng[name]['qps']:.0f} qps @ recall {r:.4f}")
         exact, fast = eng.get("exact"), eng.get("fast")
+        fused = eng.get("fused")
 
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on
@@ -309,6 +314,7 @@ def main():
         "build_seconds": round(build_s, 1),
         "exact_engine": exact,
         "fast_engine": fast,
+        "fused_engine": fused,
         "graph_operating_point": chosen,
         "sweep": rows,
         "reference_single_core": ref,

@@ -88,13 +88,16 @@ class ScanAdapter:
     ef_search is accepted and ignored (the scan has no beam). All other
     attributes delegate to the underlying Index."""
 
-    def __init__(self, index, rerank: int):
+    def __init__(self, index, rerank: int, fused: bool = True):
         self._index = index
         self._rerank = rerank
+        self._fused = fused
 
     def search(self, queries, K: int, ef_search: int):
         del ef_search
-        return self._index.search_exact(queries, K, rerank=self._rerank)
+        return self._index.search_exact(
+            queries, K, rerank=self._rerank, fused=self._fused
+        )
 
     def __getattr__(self, name):
         return getattr(self._index, name)
@@ -181,12 +184,13 @@ def train_index(
         collect_stats=True,
     )
     t0 = time.time()
-    if index_type in ("flatnav-exact", "flatnav-fast"):
+    if index_type in ("flatnav-exact", "flatnav-fast", "flatnav-fused"):
         # scan engines need only the vectors — allocate without edges
         # (the reference's allocateNode path, bindings.cpp:308-324)
         index.allocate_nodes(train_data)
-        rerank = 32 if index_type == "flatnav-fast" else 0
-        return ScanAdapter(index, rerank), time.time() - t0
+        rerank = 0 if index_type == "flatnav-exact" else 32
+        fused = index_type == "flatnav-fused"
+        return ScanAdapter(index, rerank, fused=fused), time.time() - t0
     if index_type == "flatnav-pq-scan":
         # PQ-ADC scan: train PQ + encode is the "build" (the reference's
         # flatnav_pq tool role); raw vectors kept for shortlist rerank
@@ -282,7 +286,7 @@ def parse_args(argv=None):
     p.add_argument(
         "--index-type", default="flatnav",
         choices=["flatnav", "flatnav-exact", "flatnav-fast",
-                 "flatnav-pq-scan", "hnsw"],
+                 "flatnav-fused", "flatnav-pq-scan", "hnsw"],
     )
     p.add_argument("--data-type", default="float32")
     p.add_argument("--num-node-links", type=int, nargs="+", default=[32])

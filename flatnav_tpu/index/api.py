@@ -35,6 +35,7 @@ from flatnav_tpu.index.graph import (
 )
 from flatnav_tpu.index.search import batched_search
 from flatnav_tpu.ops.distances import MetricType, brute_force_knn, fast_knn
+from flatnav_tpu.ops.fused_scan import fused_knn
 
 _DISTANCE_TYPES = {"l2": MetricType.L2, "angular": MetricType.IP, "ip": MetricType.IP}
 
@@ -283,7 +284,8 @@ class Index:
         return d[0], l[0]
 
     def search_exact(
-        self, queries: np.ndarray, K: int, rerank: int = 0
+        self, queries: np.ndarray, K: int, rerank: int = 0,
+        fused: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """EXACT batched kNN over the committed rows (recall 1.0) via the
         tiled MXU scan (ops.brute_force_knn).
@@ -297,10 +299,15 @@ class Index:
         Distance conventions match `search` (squared L2 / 1 - <q, x>).
         Returns (dists [B, K] float32, labels [B, K] int32).
 
-        `rerank > 0` (float data only) switches to the two-phase scan
-        (ops.fast_knn): one bf16 MXU pass + hardware approx_min_k
-        shortlist of `rerank` candidates, exactly reranked in f32 —
-        several times faster; near-1.0 (not guaranteed-1.0) recall.
+        `rerank > 0` (float data only) switches to the two-phase scan:
+        one bf16 MXU pass + a `rerank`-wide shortlist, exactly reranked
+        in f32 — several times faster; near-1.0 (not guaranteed-1.0)
+        recall. By default the shortlist phase runs the fused Pallas
+        kernel (ops.fused_knn: matmul + bucket-min reduced in VMEM, so
+        the [B, N] key matrix never touches HBM — measured 1.7x
+        ops.fast_knn at 1M x 128); `fused=False` keeps the approx_min_k
+        form (ops.fast_knn), which integer data always uses (its
+        shortlist key is exact int32 on the s8 MXU).
         """
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -328,7 +335,8 @@ class Index:
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
             qdev = jnp.asarray(chunk.astype(qdtype, copy=False))
             if rerank > 0 and not np.issubdtype(qdtype, np.integer):
-                dists, ids = fast_knn(
+                knn = fused_knn if fused else fast_knn
+                dists, ids = knn(
                     g.vectors, qdev, K, self._metric,
                     rerank=rerank, n_valid=g.num_nodes,
                 )

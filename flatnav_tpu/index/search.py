@@ -182,6 +182,14 @@ _INT_SENTINEL = 2**31 - 1
 # ---------------------------------------------------------------------------
 
 
+#: assumed HBM when a real TPU reports no memory stats (v5e = 16 GiB).
+#: The axon tunnel's PJRT client returns memory_stats() = None — round 3's
+#: GIST build died on a 32 GB wave gather because the guard silently
+#: disabled itself here. A conservative default keeps the guard live;
+#: override with FLATNAV_TPU_MEM_LIMIT on larger chips.
+_TPU_DEFAULT_HBM = 16 * 1024**3
+
+
 def _device_mem_limit() -> int | None:
     env = os.environ.get("FLATNAV_TPU_MEM_LIMIT")
     if env is not None:
@@ -191,7 +199,10 @@ def _device_mem_limit() -> int | None:
         dev = jax.local_devices()[0]
         if dev.platform != "tpu":
             return None  # host backends page; kernel faults are TPU-only
-        return int(dev.memory_stats().get("bytes_limit", 0)) or None
+        stats = dev.memory_stats()
+        if not stats:
+            return _TPU_DEFAULT_HBM
+        return int(stats.get("bytes_limit", 0)) or _TPU_DEFAULT_HBM
     except Exception:
         return None
 

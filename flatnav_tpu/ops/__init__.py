@@ -6,3 +6,4 @@ from flatnav_tpu.ops.distances import (  # noqa: F401
     query_block_distances,
     squared_norms,
 )
+from flatnav_tpu.ops.fused_scan import fused_knn  # noqa: F401

@@ -1,0 +1,249 @@
+"""Fused scan+select Pallas TPU kernel: the third-generation scan engine.
+
+`fast_knn` (ops/distances.py) computes a [B, tile] ranking-key matrix with
+one MXU matmul, then hands it to `jax.lax.approx_min_k`. On TPU those are
+two separate HBM programs: the key matrix is written to HBM by the matmul
+and read back by the selection pass — at B=4096, N=1M that is ~16 GB of
+HBM round-trip per batch, an order of magnitude more traffic than the
+dataset itself (256 MB in bf16). `tools/profile_scan_bound.py` measures
+the engine selection-bound, not matmul-bound, for exactly this reason.
+
+This kernel fuses the selection's first stage (strided bucket minima —
+the same binning `approx_min_k` performs internally, cf. the TPU-KNN
+PartialReduce recipe, arXiv:2206.14286 §4) into the matmul's consumer
+while the scores are still in VMEM:
+
+    HBM traffic per (query-block, tile):   rows      [T, d]   bf16  in
+                                           bucket min [QB, T/L] f32  out
+                                           bucket arg [QB, T/L] i32  out
+
+i.e. the [B, N] key matrix never exists; HBM sees the rows plus a 1/L-size
+summary (L=16 default -> 8x less traffic counting the id plane). A second,
+tiny `approx_min_k` over the [B, N/L] bucket minima picks the shortlist,
+and the exact f32 rerank is shared with `fast_knn` (same inf-masking).
+
+Recall semantics are approx_min_k-like by construction: a true neighbor is
+lost only if (a) another row in its L-bucket scores better — buckets
+stride the tile (bucket = column mod T/L), so contiguous id runs spread
+across T/L buckets and collisions are ~random — or (b) bf16 rounding
+pushes its bucket past the `rerank`-wide shortlist. Both are measured
+against the exact oracle in tests/test_fused_scan.py.
+
+Reference analog: the whole-table scan replaces the reference's
+initializeSearch strided sampling (Index.h:845-870) generalized to every
+row; the two-phase select replaces its std::priority_queue top-k.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flatnav_tpu.ops.distances import (
+    MetricType,
+    query_block_distances,
+    squared_norms,
+)
+
+#: default queries per grid step / rows per tile / bucket width. S = T/L
+#: (the bucket count per tile, also the kernel's lane width) must be a
+#: multiple of 128; QB*T f32 scores must fit VMEM alongside the row tile.
+_QB = 512
+_TILE = 2048
+_L = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
+    """One (query-block, row-tile) grid step.
+
+    q_ref    [QB, d]  bf16   query block (d zero-padded to 128k)
+    rows_ref [T, d]   bf16   dataset tile
+    pen_ref  [1, T]   f32    additive key penalty per row: the L2 ||y||^2
+                             term, +inf for invalid/padded rows, 0 for IP
+    min_ref  [QB, S]  f32    bucket minima (S = T/L buckets, strided)
+    id_ref   [QB, S]  i32    global row id attaining each bucket min
+    """
+    qb = q_ref.shape[0]
+    t = rows_ref.shape[0]
+    s = t // L
+    j = pl.program_id(1)
+
+    # one bf16 MXU pass; the f32 accumulate is the ranking key's precision
+    dots = jax.lax.dot_general(
+        q_ref[:],
+        rows_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # ranking key: L2 = ||y||^2 - 2<q,y> (||q||^2 constant per query,
+    # dropped); IP uses the same -2<q,y> form (pen = 0) — a positive
+    # scaling of -<q,y>, rank-identical, and the rerank restores exact
+    # distances. pen is +inf on invalid rows (inf + finite = inf).
+    key = pen_ref[0, :][None, :] - 2.0 * dots
+
+    # strided bucket min: bucket b holds columns {b, b+S, ..., b+(L-1)S},
+    # so a contiguous run of ids spreads across S buckets before reuse.
+    # Static lane-aligned slices; L-1 VPU mins — negligible vs the matmul.
+    bmin = key[:, 0:s]
+    for l in range(1, L):
+        bmin = jnp.minimum(bmin, key[:, l * s : (l + 1) * s])
+    # arg pass: smallest slice index l attaining the min (ties -> lowest
+    # global id, matching the stable sorts elsewhere in the engine)
+    argl = jnp.full((qb, s), L, jnp.int32)
+    for l in range(L - 1, -1, -1):
+        argl = jnp.where(key[:, l * s : (l + 1) * s] == bmin, l, argl)
+    b_iota = jax.lax.broadcasted_iota(jnp.int32, (qb, s), 1)
+    min_ref[:] = bmin
+    id_ref[:] = j * t + argl * s + b_iota
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "rerank", "bucket_l", "tile_size", "query_block",
+        "interpret",
+    ),
+)
+def fused_knn(
+    dataset: jax.Array,
+    queries: jax.Array,
+    k: int,
+    metric: MetricType = MetricType.L2,
+    rerank: int = 32,
+    bucket_l: int | None = None,
+    tile_size: int = _TILE,
+    query_block: int = _QB,
+    n_valid: jax.Array | None = None,
+    interpret: bool | None = None,
+):
+    """Two-phase kNN scan with the matmul+bucket-min fused in VMEM.
+
+    Drop-in contract of `fast_knn` (exact f32/int32 rerank distances,
+    ascending, [B, k] + [B, k] int32 ids; unfilled slots carry inf/-1 is
+    NOT applied here — ids of invalid slots are masked inf like fast_knn).
+    Float data only (the integer path keeps fast_knn's exact int32 MXU
+    scan); integer inputs are promoted via float32.
+
+    Tuning knobs: `bucket_l` trades phase-B input size (N/L) against
+    bucket-collision recall loss; `tile_size`/`query_block` size the VMEM
+    working set (QB*T f32 scores + T*d bf16 rows must fit ~16 MB).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n, d = dataset.shape
+    b = queries.shape[0]
+    r = max(rerank, k)
+    n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
+
+    # auto bucket width: keep >= ~4096 buckets so top-k bucket collisions
+    # stay rare (expected pair collisions ~ k^2/(2*nb)); small tables
+    # degrade L toward 1 (the kernel then emits full keys — correct,
+    # just with less traffic saved, which tiny tables don't need anyway)
+    if bucket_l is None:
+        L = _L
+        while L > 1 and n // L < 4096:
+            L //= 2
+    else:
+        L = bucket_l
+    t = max(128 * L, min(tile_size, _round_up(n, 128 * L)))
+    if t % (128 * L):
+        raise ValueError(f"tile_size {t} must be a multiple of 128*L")
+    qb = min(query_block, _round_up(b, 8))
+    n_pad = _round_up(n, t)
+    b_pad = _round_up(b, qb)
+    d_pad = _round_up(d, 128)
+
+    ds_bf = dataset.astype(jnp.bfloat16)
+    q_bf = queries.astype(jnp.bfloat16)
+    if n_pad != n:
+        ds_bf = jnp.pad(ds_bf, ((0, n_pad - n), (0, 0)))
+    if b_pad != b:
+        q_bf = jnp.pad(q_bf, ((0, b_pad - b), (0, 0)))
+    if d_pad != d:
+        ds_bf = jnp.pad(ds_bf, ((0, 0), (0, d_pad - d)))
+        q_bf = jnp.pad(q_bf, ((0, 0), (0, d_pad - d)))
+
+    # per-row additive penalty: ||y||^2 for L2, 0 for IP; +inf past
+    # n_valid and on padding. The norms MUST come from the bf16-ROUNDED
+    # rows (the same values the kernel's dots see): then
+    # key = ||y_bf||^2 - 2<q_bf, y_bf> = ||q_bf - y_bf||^2 - ||q_bf||^2,
+    # i.e. an exact ranking of distances to the rounded rows (the
+    # per-query constant is rank-irrelevant). Exact-f32 norms against
+    # bf16 dots add a ±||y||^2 * 2^-9 per-row bias that is not the
+    # distance to ANY consistent vector — measured 0.58 -> 0.81 recall
+    # on a near-duplicate table (tests/test_fused_scan.py).
+    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    if metric == MetricType.L2:
+        pen = squared_norms(ds_bf.astype(jnp.float32))
+    else:
+        pen = jnp.zeros((n_pad,), jnp.float32)
+    pen = jnp.where(row_ids < n_limit, pen, jnp.inf)[None, :]
+
+    s = t // L
+    nb = n_pad // L  # total buckets
+    grid = (b_pad // qb, n_pad // t)
+    kern = functools.partial(_scan_kernel, L=L)
+    bmin, bids = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qb, d_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, d_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, s), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, s), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, nb), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, nb), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=(
+                b_pad * d_pad * 2
+                + grid[0] * n_pad * d_pad * 2
+                + b_pad * nb * 8
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_bf, ds_bf, pen)
+    bmin, bids = bmin[:b], bids[:b]
+
+    # phase B: shortlist from the 1/L-size bucket summary
+    if nb <= r:
+        cand_key, cand_i = bmin, bids
+    else:
+        cand_key, pos = jax.lax.approx_min_k(bmin, r)
+        cand_i = jnp.take_along_axis(bids, pos, axis=1)
+
+    # exact rerank (shared conventions with fast_knn, distances.py:379-392):
+    # invalid/padded winners carry an inf key — keep them inf so their
+    # clipped row-0 rescore can't outrank real neighbors.
+    qk = queries
+    cand_rows = jnp.take(dataset, jnp.minimum(cand_i, n - 1), axis=0)
+    exact = query_block_distances(qk, cand_rows, metric)
+    exact = jnp.where(jnp.isinf(cand_key), jnp.inf, exact)
+    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+    return (
+        jnp.take_along_axis(exact, order, axis=1),
+        jnp.take_along_axis(cand_i, order, axis=1),
+    )
+
+
+__all__ = ["fused_knn"]

@@ -32,6 +32,7 @@ from flatnav_tpu.ops.distances import (
     brute_force_knn,
     fast_knn,
 )
+from flatnav_tpu.ops.fused_scan import fused_knn
 from flatnav_tpu.parallel.sharding import DATA_AXIS, MODEL_AXIS
 
 
@@ -45,10 +46,13 @@ def sharded_exact_search(
     metric: MetricType = MetricType.L2,
     rerank: int = 0,
     tile_size: int = 65536,
+    fused: bool = False,
 ):
     """Exact (rerank=0) or two-phase fast (rerank>0) kNN over a
     row-sharded table. Returns (dists [B, k], ids [B, k]) with GLOBAL row
-    ids, sharded over the data axis like the queries.
+    ids, sharded over the data axis like the queries. `fused=True` runs
+    the rerank>0 shortlist phase with the fused Pallas scan
+    (ops.fused_knn) on each shard instead of approx_min_k.
     """
     n_model = mesh.shape[MODEL_AXIS]
     rows = vectors.shape[0]
@@ -68,7 +72,12 @@ def sharded_exact_search(
         offset = shard * n_local
         # committed rows owned by this shard: clamp the global prefix
         local_valid = jnp.clip(num_nodes - offset, 0, n_local)
-        if rerank > 0:
+        if rerank > 0 and fused:
+            d_loc, i_loc = fused_knn(
+                vec_local, q_local, k, metric,
+                rerank=rerank, n_valid=local_valid,
+            )
+        elif rerank > 0:
             d_loc, i_loc = fast_knn(
                 vec_local, q_local, k, metric,
                 tile_size=tile_size, rerank=rerank, n_valid=local_valid,

@@ -1,0 +1,145 @@
+"""Fused scan+select kernel (ops/fused_scan.py) vs the exact oracle.
+
+Acceptance mirrors fast_knn's: the returned distances must be EXACT f32
+(rerank output), and measured recall vs brute_force_knn is the quality
+criterion — on random/clustered data with rerank=32 the fused engine's
+shortlist should match approx_min_k-class recall (>= 0.99 @ k=10). Runs
+in Pallas interpret mode on the CPU mesh (conftest forces cpu), compiled
+on TPU.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatnav_tpu.bench.synth import clustered
+from flatnav_tpu.ops import MetricType, brute_force_knn, fused_knn
+
+
+def _recall(found, want, k):
+    return float(
+        np.mean(
+            [len(set(a.tolist()) & set(b.tolist())) / k
+             for a, b in zip(found, want)]
+        )
+    )
+
+
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_fused_matches_oracle_recall(rng, metric):
+    n, d, nq, k = 6000, 64, 64, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((nq, d), dtype=np.float32)
+    if metric == MetricType.IP:
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    data, q = jnp.asarray(data), jnp.asarray(q)
+    ed, ei = brute_force_knn(data, q, k, metric)
+    fd, fi = fused_knn(data, q, k, metric, rerank=32)
+    assert fi.shape == (nq, k) and fd.shape == (nq, k)
+    # bucket-collision loss scales as ~k^2/(2*NB); at n=6000 there are
+    # only 512 buckets (1M has 65536), so small tables sit near 0.98 —
+    # and shrinking L (more buckets) must recover it
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.97
+    _, fi4 = fused_knn(data, q, k, metric, rerank=32, bucket_l=4)
+    assert _recall(np.asarray(fi4), np.asarray(ei), k) >= 0.99
+    # returned distances are exact: wherever ids agree, distances agree
+    agree = np.asarray(fi) == np.asarray(ei)
+    np.testing.assert_allclose(
+        np.asarray(fd)[agree], np.asarray(ed)[agree], rtol=1e-5, atol=1e-4
+    )
+
+
+def test_fused_clustered_workload(rng):
+    # the headline workload shape in miniature: contiguous-free id space,
+    # strided buckets — recall must hold at the bench acceptance level
+    data, q = clustered(8000, 32, 48)
+    k = 10
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.97
+
+
+def test_fused_contiguous_cluster_ids(rng):
+    # adversarial layout: near-duplicate rows CONTIGUOUS in id space, with
+    # within-cluster distance gaps below bf16 phase-1 resolution. The
+    # strided bucketing (bucket = column mod T/L) must add NO loss beyond
+    # fast_knn's shared bf16 limit (measured: both engines 0.5125 at
+    # rerank=32 on this data), and a wider rerank must recover fully —
+    # the documented escape hatch for near-duplicate tables.
+    from flatnav_tpu.ops import fast_knn
+
+    n, d, k = 4096, 32, 10
+    base = rng.standard_normal((64, d), dtype=np.float32) * 8
+    data = np.repeat(base, n // 64, axis=0) + 0.1 * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    q = base[:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    # platform-fair comparator: the fused kernel casts inputs to bf16
+    # explicitly (on TPU fast_knn's DEFAULT-precision matmul does the
+    # same; on this CPU test backend DEFAULT is full f32) — pre-round
+    # fast_knn's inputs through bf16 so both engines see one precision
+    rd = lambda x: np.asarray(
+        jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    _, ref_i = fast_knn(
+        jnp.asarray(rd(data)), jnp.asarray(rd(q)), k, rerank=32
+    )
+    _, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
+    ref_r = _recall(np.asarray(ref_i), np.asarray(ei), k)
+    got_r = _recall(np.asarray(fi), np.asarray(ei), k)
+    assert got_r >= ref_r - 0.05, (got_r, ref_r)
+    # wider rerank is the documented escape hatch for near-duplicate
+    # tables whose distance gaps sit below bf16 phase-1 resolution
+    _, fi64 = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=64)
+    assert _recall(np.asarray(fi64), np.asarray(ei), k) >= 0.99
+
+
+def test_fused_n_valid_and_padding(rng):
+    # n far from tile multiples + over-allocated capacity: rows past
+    # n_valid must never appear, unfilled shortlist slots stay inf
+    n_cap, n_valid, d, k = 5000, 300, 48, 10
+    data = rng.standard_normal((n_cap, d), dtype=np.float32)
+    # poison the invalid tail with zeros (closest possible rows to a
+    # zero-centered query if the mask leaked)
+    data[n_valid:] = 0.0
+    q = 0.01 * rng.standard_normal((9, d)).astype(np.float32)
+    # rerank=64: near-zero queries against unit-scale rows are an
+    # intentional scale mismatch — phase-1 keys are then pure-norm
+    # comparisons at the bf16 noise floor, so the shortlist needs width
+    # (this test is about the n_valid mask, not phase-1 resolution)
+    fd, fi = fused_knn(
+        jnp.asarray(data), jnp.asarray(q), k,
+        n_valid=jnp.asarray(n_valid, jnp.int32), rerank=64,
+    )
+    assert int(np.asarray(fi).max()) < n_valid
+    ed, ei = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(q), k,
+        n_valid=jnp.asarray(n_valid, jnp.int32),
+    )
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.99
+
+
+def test_fused_tiny_table_all_slots(rng):
+    # table smaller than the shortlist: every valid row must be returned
+    # (k slots past n_valid carry inf distances)
+    n, d, k = 20, 16, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((3, d), dtype=np.float32)
+    fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(fd), np.asarray(ed), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_fused_int_data_promotes(rng):
+    # integer tables ride the float path (promotion) — recall holds
+    data = rng.integers(0, 255, (3000, 32)).astype(np.uint8)
+    q = rng.integers(0, 255, (8, 32)).astype(np.uint8)
+    k = 5
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.95

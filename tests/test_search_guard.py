@@ -283,3 +283,32 @@ def test_graph_from_numpy_rejects_overflow(rng):
     links = np.zeros((20, 4), np.int32)
     with pytest.raises(ValueError, match="exceed capacity"):
         graph_from_numpy(vecs, links, capacity=10)
+
+
+def test_tpu_without_memory_stats_uses_default(monkeypatch):
+    # round-3 GIST regression: the axon tunnel's PJRT client returns
+    # memory_stats() = None — the guard must fall back to the
+    # conservative 16 GiB default instead of silently disabling (a
+    # disabled guard let a 32 GB d=960 wave gather kill the worker)
+    import flatnav_tpu.index.search as search_mod
+
+    class FakeDev:
+        platform = "tpu"
+
+        def memory_stats(self):
+            return None
+
+    monkeypatch.delenv("FLATNAV_TPU_MEM_LIMIT", raising=False)
+    monkeypatch.setattr(
+        search_mod.jax, "local_devices", lambda: [FakeDev()]
+    )
+    assert search_mod._device_mem_limit() == search_mod._TPU_DEFAULT_HBM
+
+    class FakeDevEmpty(FakeDev):
+        def memory_stats(self):
+            return {}
+
+    monkeypatch.setattr(
+        search_mod.jax, "local_devices", lambda: [FakeDevEmpty()]
+    )
+    assert search_mod._device_mem_limit() == search_mod._TPU_DEFAULT_HBM

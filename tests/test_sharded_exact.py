@@ -72,3 +72,24 @@ def test_sharded_fast_rerank(mesh):
         for a, b_ in zip(np.asarray(got_i), np.asarray(want_i))
     ])
     assert recall >= 0.99, recall
+
+
+def test_sharded_fused_rerank(mesh):
+    # fused Pallas shortlist per shard (interpret mode on the CPU mesh)
+    rng = np.random.default_rng(0x61)
+    n, d, b, k = 8192, 32, 64, 10
+    vectors = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    queries = jax.device_put(
+        jnp.asarray(rng.standard_normal((b, d), dtype=np.float32)),
+        data_sharded(mesh),
+    )
+    _, want_i = brute_force_knn(vectors, queries, k, tile_size=2048)
+    _, got_i = sharded_exact_search(
+        vectors, jnp.asarray(n, jnp.int32), queries, mesh,
+        k=k, rerank=32, fused=True,
+    )
+    recall = np.mean([
+        len(set(a.tolist()) & set(b_.tolist())) / k
+        for a, b_ in zip(np.asarray(got_i), np.asarray(want_i))
+    ])
+    assert recall >= 0.97, recall
