@@ -44,6 +44,13 @@ from flatnav_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
 
+# Checkpoints/partials live under the repo (persists across driver
+# sessions; /tmp is wiped between them, which cost the first GIST run
+# its 1M x 960 build). Override with FLATNAV_SCRATCH.
+SCRATCH = os.environ.get(
+    "FLATNAV_SCRATCH", os.path.join(_REPO, ".scratch"))
+os.makedirs(SCRATCH, exist_ok=True)
+
 import jax.numpy as jnp  # noqa: E402
 
 from flatnav_tpu.bench.synth import clustered  # noqa: E402
@@ -106,7 +113,7 @@ def main():
     # Chunked, checkpointed build (same pattern as run_bigann_10m.py):
     # the tunnel's throughput phase is sticky per process, so a slow
     # phase costs at most one chunk before a kill+relaunch redraws it.
-    cache = f"/tmp/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
+    cache = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
     chunk = 250_000
     if os.path.exists(cache) and not args.rebuild:
         g, _, meta = load_index(cache)
@@ -131,7 +138,7 @@ def main():
                    extra={"build_seconds": round(build_s, 1)})
         log(f"built {done}/{args.n} ({build_s:.1f}s cumulative)")
 
-    gt_path = f"/tmp/ns_{variant}_{args.n}_gt.npy"
+    gt_path = f"{SCRATCH}/ns_{variant}_{args.n}_gt.npy"
     if os.path.exists(gt_path) and not args.rebuild:
         gt = np.load(gt_path)
     else:
@@ -185,7 +192,7 @@ def main():
         # Engine points persist like sweep rows: a worker fault here must
         # not wedge the relaunch loop before the graph sweep, and a
         # relaunch must not re-attempt a faulted (or finished) engine.
-        eng_path = f"/tmp/ns_{variant}_{args.n}_{args.efc}_engines.json"
+        eng_path = f"{SCRATCH}/ns_{variant}_{args.n}_{args.efc}_engines.json"
         eng: dict = {}
         if os.path.exists(eng_path) and not args.rebuild:
             with open(eng_path) as f:
@@ -218,7 +225,7 @@ def main():
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on
     # resume.
-    part_path = f"/tmp/ns_{variant}_{args.n}_{args.efc}_sweep.json"
+    part_path = f"{SCRATCH}/ns_{variant}_{args.n}_{args.efc}_sweep.json"
     rows, chosen = [], None
     if os.path.exists(part_path) and not args.rebuild:
         with open(part_path) as f:
@@ -284,8 +291,8 @@ def main():
                 check=False, capture_output=True,
             )
         if os.path.exists(binary):
-            df = f"/tmp/ns_{variant}_data.f32"
-            qf, gf = "/tmp/ns_q.f32", "/tmp/ns_gt.i32"
+            df = f"{SCRATCH}/ns_{variant}_data.f32"
+            qf, gf = f"{SCRATCH}/ns_q.f32", f"{SCRATCH}/ns_gt.i32"
             nq_ref = 2000
             data.astype(np.float32).tofile(df)
             queries[:nq_ref].astype(np.float32).tofile(qf)
