@@ -96,6 +96,22 @@ def test_fused_contiguous_cluster_ids(rng):
     assert _recall(np.asarray(fi64), np.asarray(ei), k) >= 0.99
 
 
+def test_fused_gist_shape(rng):
+    # GIST1M-class miniature: d=960 is NOT a lane multiple (pads to
+    # 1024) and is the largest per-row tile the north-star configs use —
+    # guards the d_pad path the 1M x 960 runs ride
+    # (benchmarks/run_northstar.py --config gist)
+    n, d, nq, k = 2048, 960, 16, 10
+    data, q = clustered(n, d, nq)
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.97
+    agree = np.asarray(fi) == np.asarray(ei)
+    np.testing.assert_allclose(
+        np.asarray(fd)[agree], np.asarray(ed)[agree], rtol=1e-4, atol=1e-3
+    )
+
+
 def test_fused_n_valid_and_padding(rng):
     # n far from tile multiples + over-allocated capacity: rows past
     # n_valid must never appear, unfilled shortlist slots stay inf
