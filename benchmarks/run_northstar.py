@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--skip-scan-engines", action="store_true",
                     help="only sweep the graph engine (e.g. efc A/Bs "
                          "where the scan engines are efc-independent)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="build-checkpoint chunk rows (default: "
+                         "dim-scaled, 250k at d=128 down to 62.5k at "
+                         "d>=512)")
     ap.add_argument("--centers-per-64k", type=int, default=None,
                     help="override the generator's cluster-count scaling "
                          "(default: 256 -> cluster count grows with n; "
@@ -114,7 +118,10 @@ def main():
     # the tunnel's throughput phase is sticky per process, so a slow
     # phase costs at most one chunk before a kill+relaunch redraws it.
     cache = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
-    chunk = 250_000
+    # build-chunk size scales inversely with dim so the per-chunk device
+    # time (and hence the progress lost to a relaunch/timeout) stays
+    # roughly constant: 250k rows at d=128 ≈ 62.5k rows at d=960
+    chunk = args.chunk or max(62_500, 250_000 * 128 // dim)
     if os.path.exists(cache) and not args.rebuild:
         g, _, meta = load_index(cache)
         build_s = float(meta.get("build_seconds", 0.0))
