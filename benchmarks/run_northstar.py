@@ -101,6 +101,8 @@ def main():
                          "see the round-3 difficulty-drift diagnosis in "
                          "docs/benchmarking.md)")
     args = ap.parse_args()
+    if args.chunk is not None and args.chunk <= 0:
+        ap.error("--chunk must be a positive row count")
     cfg = CONFIGS[args.config]
     dim, metric = cfg["dim"], cfg["metric"]
 
@@ -120,8 +122,9 @@ def main():
     cache = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
     # build-chunk size scales inversely with dim so the per-chunk device
     # time (and hence the progress lost to a relaunch/timeout) stays
-    # roughly constant: 250k rows at d=128 ≈ 62.5k rows at d=960
-    chunk = args.chunk or max(62_500, 250_000 * 128 // dim)
+    # roughly constant; the 62.5k floor dominates for d >= 512
+    chunk = (args.chunk if args.chunk is not None
+             else max(62_500, 250_000 * 128 // dim))
     if os.path.exists(cache) and not args.rebuild:
         g, _, meta = load_index(cache)
         build_s = float(meta.get("build_seconds", 0.0))
