@@ -109,7 +109,7 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     jax.jit,
     static_argnames=(
         "k", "metric", "rerank", "bucket_l", "tile_size", "query_block",
-        "interpret",
+        "interpret", "exact_rerank",
     ),
 )
 def fused_knn(
@@ -123,6 +123,7 @@ def fused_knn(
     query_block: int = _QB,
     n_valid: jax.Array | None = None,
     interpret: bool | None = None,
+    exact_rerank: bool = True,
 ):
     """Two-phase kNN scan with the matmul+bucket-min fused in VMEM.
 
@@ -135,6 +136,16 @@ def fused_knn(
     Tuning knobs: `bucket_l` trades phase-B input size (N/L) against
     bucket-collision recall loss; `tile_size`/`query_block` size the VMEM
     working set (QB*T f32 scores + T*d bf16 rows must fit ~16 MB).
+
+    `exact_rerank=False` skips the final HBM row gather + f32 rescore and
+    ranks the shortlist by the kernel's own f32-accumulated keys instead.
+    The gather is DMA-issue-rate-bound (~150 ns/row measured, B*rerank
+    rows/batch — ~20 ms at B=4096, rerank=32; see ops/distances.py:311),
+    so this mode removes the engine's single largest cost. Returned
+    distances are calibrated from the keys (key + ||q||^2 for L2,
+    1 + key/2 for IP): exact for bf16-ROUNDED inputs, i.e. within input
+    rounding (~2^-8 relative) of the true f32 distances; ranking quality
+    is measured vs the exact oracle in tests/test_fused_scan.py.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -231,6 +242,19 @@ def fused_knn(
     else:
         cand_key, pos = jax.lax.approx_min_k(bmin, r)
         cand_i = jnp.take_along_axis(bids, pos, axis=1)
+
+    if not exact_rerank:
+        # rank by the kernel keys; calibrate them back to distances.
+        # L2: key = ||y_bf||^2 - 2<q_bf, y_bf>  ->  + ||q||^2
+        # IP: key = -2<q_bf, y_bf>              ->  1 + key/2
+        order = jnp.argsort(cand_key, axis=1, stable=True)[:, :k]
+        kk = jnp.take_along_axis(cand_key, order, axis=1)
+        if metric == MetricType.L2:
+            dist = kk + squared_norms(queries.astype(jnp.float32))[:, None]
+        else:
+            dist = 1.0 + 0.5 * kk
+        dist = jnp.where(jnp.isinf(kk), jnp.inf, dist)
+        return dist, jnp.take_along_axis(cand_i, order, axis=1)
 
     # exact rerank (shared conventions with fast_knn, distances.py:379-392):
     # invalid/padded winners carry an inf key — keep them inf so their

@@ -151,6 +151,50 @@ def test_fused_tiny_table_all_slots(rng):
     )
 
 
+@pytest.mark.parametrize("metric", [MetricType.L2, MetricType.IP])
+def test_fused_no_rerank_mode(rng, metric):
+    # exact_rerank=False skips the HBM row gather and ranks by the
+    # kernel's f32 keys; ids must stay at shortlist quality and the
+    # calibrated distances must sit within bf16 input rounding of exact
+    n, d, nq, k = 6000, 64, 64, 10
+    data, q = clustered(n, d, nq)
+    data, q = data.astype(np.float32), q.astype(np.float32)
+    if metric == MetricType.IP:
+        data /= np.linalg.norm(data, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    data, q = jnp.asarray(data), jnp.asarray(q)
+    ed, ei = brute_force_knn(data, q, k, metric)
+    fd, fi = fused_knn(data, q, k, metric, rerank=32, exact_rerank=False)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.97
+    # calibrated key distances: exact for bf16-rounded inputs, so within
+    # ~2^-8 relative of the true f32 distances (plus the dropped-constant
+    # restore). Compare where ids agree.
+    agree = np.asarray(fi) == np.asarray(ei)
+    scale = float(np.abs(np.asarray(ed)).max()) + 1.0
+    np.testing.assert_allclose(
+        np.asarray(fd)[agree], np.asarray(ed)[agree],
+        rtol=0.02, atol=0.02 * scale,
+    )
+    # ascending order within each row
+    fdv = np.asarray(fd)
+    assert np.all(np.diff(fdv, axis=1) >= -1e-6)
+
+
+def test_fused_no_rerank_n_valid(rng):
+    # the inf mask must survive the no-gather path too
+    n_cap, n_valid, d, k = 3000, 200, 48, 10
+    data = rng.standard_normal((n_cap, d), dtype=np.float32)
+    data[n_valid:] = 0.0
+    q = 0.01 * rng.standard_normal((9, d)).astype(np.float32)
+    fd, fi = fused_knn(
+        jnp.asarray(data), jnp.asarray(q), k,
+        n_valid=jnp.asarray(n_valid, jnp.int32), rerank=64,
+        exact_rerank=False,
+    )
+    assert int(np.asarray(fi).max()) < n_valid
+    assert np.all(np.isfinite(np.asarray(fd)))  # k=10 < n_valid=200
+
+
 def test_fused_int_data_promotes(rng):
     # integer tables ride the float path (promotion) — recall holds
     data = rng.integers(0, 255, (3000, 32)).astype(np.uint8)
