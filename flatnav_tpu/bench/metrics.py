@@ -21,7 +21,7 @@ class MetricContext:
     index: object | None = None
     found_labels: np.ndarray | None = None  # [nq, k]
     ground_truth: np.ndarray | None = None  # [nq, >=k]
-    latencies_s: np.ndarray | None = None  # per query or per batch
+    latencies_s: np.ndarray | None = None  # per query: its dispatch's wall time
     total_seconds: float | None = None
     num_queries: int | None = None
     distance_computations: int | None = None

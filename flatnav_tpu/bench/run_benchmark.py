@@ -243,10 +243,13 @@ def compute_metrics(
 
     One untimed warmup batch runs first: on TPU the first dispatch of a
     new shape pays a multi-second XLA compile that would otherwise land
-    in qps and the latency tail. Latencies are per-batch wall time
-    divided by the batch's query count — amortized per-query latency at
-    this batch size (the reference times one query per call; a batched
-    engine's dispatch granularity is the batch)."""
+    in qps and the latency tail. Latencies are TRUE per-dispatch wall
+    times: every query in a batch experiences its whole dispatch's
+    latency (it waits for the batch), so each batch's wall time enters
+    the percentile sample once per query it carried — NOT divided by the
+    batch size, which would amortize p999 down to p50 (the reference
+    times one query per call, run-benchmark.py:67-75; --batch-size 1
+    reproduces that protocol exactly)."""
     nq = queries.shape[0]
     index.search(queries[:batch_size], K=k, ef_search=ef_search)  # warmup
     index.get_query_distance_computations()  # reset (incl. warmup's)
@@ -259,7 +262,7 @@ def compute_metrics(
             queries[lo : lo + batch_size], K=k, ef_search=ef_search
         )
         found[lo : lo + labels.shape[0]] = labels
-        latencies.append((time.time() - tb) / labels.shape[0])
+        latencies.extend([time.time() - tb] * labels.shape[0])
     total = time.time() - t0
     ctx = MetricContext(
         index=index,
