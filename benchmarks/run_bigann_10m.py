@@ -41,11 +41,21 @@ from flatnav_tpu.bench.synth import clustered  # noqa: E402
 from flatnav_tpu.index import batched_search  # noqa: E402
 from flatnav_tpu.index.build import add_batch  # noqa: E402
 from flatnav_tpu.index.graph import make_empty_graph  # noqa: E402
-from flatnav_tpu.ops import MetricType, brute_force_knn, fast_knn  # noqa: E402
+from flatnav_tpu.ops import (  # noqa: E402
+    MetricType,
+    brute_force_knn,
+    fast_knn,
+    fused_knn,
+)
 
 N, D, M, NQ, K, EFC = 10_000_000, 128, 32, 8192, 10, 100
 TARGET = 0.95
 BATCH = 4096
+
+SCRATCH = os.environ.get(
+    "FLATNAV_SCRATCH",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".scratch"))
 
 
 def log(m):
@@ -53,15 +63,42 @@ def log(m):
 
 
 def main():
-    run_baseline = "--no-baseline" not in sys.argv
-    data, queries = clustered(N, D, NQ, dtype=np.uint8)
+    global EFC, N, NQ
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=N,
+                    help="rows (default 10M; small values for smokes)")
+    ap.add_argument("--nq", type=int, default=NQ)
+    ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--pq-only", action="store_true")
+    ap.add_argument("--no-pq", action="store_true")
+    ap.add_argument("--efc", type=int, default=EFC)
+    ap.add_argument("--m-pq", type=int, default=16,
+                    help="PQ subquantizers (code bytes/node)")
+    ap.add_argument("--pq-rerank", type=int, default=64)
+    ap.add_argument("--centers-per-64k", type=int, default=None,
+                    help="calibrated generator density (the c26 setting "
+                        "fixed the 1M graph collapse; VERDICT r03 item 3)")
+    args, _ = ap.parse_known_args()
+    EFC = args.efc
+    N, NQ = args.n, args.nq
+    gen_kw = {}
+    variant = "bigann"
+    if args.centers_per_64k is not None:
+        gen_kw["centers_per_64k"] = args.centers_per_64k
+        variant = f"bigann-c{args.centers_per_64k}"
+    run_baseline = not args.no_baseline
+    os.makedirs(SCRATCH, exist_ok=True)
+    data, queries = clustered(N, D, NQ, dtype=np.uint8, **gen_kw)
     # Chunked, checkpointed build: a multi-hour monolithic device loop
     # once wedged the tunnel (host futex-wait, 18 GB buffered transfers) —
     # inserting in 1M chunks with an on-disk checkpoint after each bounds
     # the loss to one chunk and makes the build resumable.
     from flatnav_tpu.index.serialize import load_index, save_index
 
-    cache = f"/tmp/10m_index_{N}_{D}_{M}_{EFC}.npz"
+    cache = f"{SCRATCH}/10m_{variant}_{N}_{D}_{M}_{EFC}.npz"
     chunk = 1_000_000
     if os.path.exists(cache) and "--rebuild" not in sys.argv:
         g, _, meta = load_index(cache)
@@ -88,14 +125,19 @@ def main():
                    extra={"build_seconds": round(build_s, 1)})
         log(f"built {done}/{N} ({build_s:.1f}s cumulative)")
 
-    log("computing exact ground truth (int32 MXU scan)")
     q_dev = jnp.asarray(queries)
-    gt = np.concatenate([
-        np.asarray(brute_force_knn(
-            jnp.asarray(data), q_dev[lo : lo + BATCH], K, MetricType.L2,
-        )[1])
-        for lo in range(0, NQ, BATCH)
-    ])
+    gt_path = f"{SCRATCH}/10m_gt_{variant}_{N}_{D}.npy"
+    if os.path.exists(gt_path) and not args.rebuild:
+        gt = np.load(gt_path)
+    else:
+        log("computing exact ground truth (int32 MXU scan)")
+        gt = np.concatenate([
+            np.asarray(brute_force_knn(
+                jnp.asarray(data), q_dev[lo : lo + BATCH], K, MetricType.L2,
+            )[1])
+            for lo in range(0, NQ, BATCH)
+        ])
+        np.save(gt_path, gt)
 
     def recall(found):
         return float(np.mean(
@@ -103,7 +145,7 @@ def main():
              for a, b in zip(found, gt)]
         ))
 
-    def time_engine(run_fn, name):
+    def time_engine(run_fn, name, scan=True):
         found = run_fn()
         r = recall(found)
         times = []
@@ -111,7 +153,12 @@ def main():
             t0 = time.time()
             run_fn()
             times.append(time.time() - t0)
-        out = {"recall": r, "qps": NQ / min(times)}
+        out = {"recall": r, "qps": round(NQ / min(times), 1)}
+        if scan:
+            # whole-table scans do 2*N*d useful FLOP per query
+            tf = out["qps"] * 2.0 * N * D / 1e12
+            out["achieved_tflops"] = round(tf, 2)
+            out["mfu"] = round(tf / 197.0, 4)
         log(f"{name}: {out['qps']:.0f} qps @ recall {r:.4f}")
         return out
 
@@ -133,10 +180,24 @@ def main():
             for lo in range(0, NQ, BATCH)
         ])
 
-    exact = fast = None
+    def run_fused(exact_rerank):
+        def go():
+            return np.concatenate([
+                np.asarray(fused_knn(
+                    g.vectors, q_dev[lo : lo + BATCH], K, MetricType.L2,
+                    rerank=32, n_valid=g.num_nodes,
+                    exact_rerank=exact_rerank,
+                )[1])
+                for lo in range(0, NQ, BATCH)
+            ])
+        return go
+
+    exact = fast = fused = fusednr = None
     if "--pq-only" not in sys.argv:
         exact = time_engine(run_exact, "exact engine")
         fast = time_engine(run_fast, "fast engine")
+        fused = time_engine(run_fused(True), "fused engine")
+        fusednr = time_engine(run_fused(False), "fused-norerank engine")
 
     # ---- PQ-ADC scan engine (the beyond-HBM-scale configuration, VERDICT
     # r02 item 6): train on a 500k sample, encode all 10M (16 bytes/node
@@ -149,10 +210,10 @@ def main():
         from flatnav_tpu.quantization.pq import pq_scan_knn
 
         t0 = time.time()
-        pq = ProductQuantizer(dim=D, num_subquantizers=16).train(
+        pq = ProductQuantizer(dim=D, num_subquantizers=args.m_pq).train(
             data[:500_000].astype(np.float32), n_iters=25
         )
-        codes_path = f"/tmp/10m_codes_{N}_{D}_16.npy"
+        codes_path = f"{SCRATCH}/10m_codes_{variant}_{N}_{D}_{args.m_pq}.npy"
         if os.path.exists(codes_path) and "--rebuild" not in sys.argv:
             codes = np.load(codes_path)
         else:
@@ -181,15 +242,16 @@ def main():
                 )
                 _, ids = pq_scan_knn(
                     codes_dev, tables, K, metric=MetricType.L2,
-                    tile_size=131072, rerank=64,
+                    tile_size=131072, rerank=args.pq_rerank,
                     vectors=g.vectors, queries=q_dev[lo : lo + BATCH],
                 )
                 outs.append(np.asarray(ids))
             return np.concatenate(outs, 0)
 
-        pq_point = time_engine(run_pq, "pq-scan engine")
+        pq_point = time_engine(run_pq, "pq-scan engine", scan=False)
         pq_point["prep_seconds"] = round(pq_prep_s, 1)
-        pq_point["code_bytes_per_node"] = 16
+        pq_point["code_bytes_per_node"] = args.m_pq
+        pq_point["rerank"] = args.pq_rerank
 
     def run_graph(ef, expand):
         outs = []
@@ -214,7 +276,9 @@ def main():
         ef_grid = ()
     else:
         ef_grid = (256, 512, 1024, 2048)
-    for expand in (16,):
+    for expand in (16, 64):
+        if chosen is not None:
+            break
         for ef in ef_grid:
             t0 = time.time()
             # huge-ef fresh compiles can kernel-fault the worker
@@ -244,8 +308,8 @@ def main():
     if run_baseline:
         binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
         if os.path.exists(binary):
-            df, qf, gf = ("/tmp/10m_data.u8", "/tmp/10m_q.u8",
-                          "/tmp/10m_gt.i32")
+            df, qf, gf = (f"{SCRATCH}/10m_data.u8", f"{SCRATCH}/10m_q.u8",
+                          f"{SCRATCH}/10m_gt.i32")
             nq_ref = 1000
             data.tofile(df)
             queries[:nq_ref].tofile(qf)
@@ -261,7 +325,9 @@ def main():
             else:
                 log(f"baseline failed: {out.stderr[-300:]}")
 
-    path = os.path.join(_REPO, "benchmarks/results_bigann_10m.json")
+    size_tag = "" if N == 10_000_000 else f"_n{N}"
+    path = os.path.join(
+        _REPO, f"benchmarks/results_bigann_10m{size_tag}.json")
     result = {}
     if os.path.exists(path):  # merge partial (--pq-only) runs
         with open(path) as f:
@@ -278,8 +344,10 @@ def main():
                 "natural-cluster arm B; dtype effect nil).",
         "build_seconds": round(build_s, 1),
     })
+    result["generator"] = dict(gen_kw) or "defaults"
     for key, val in (
         ("exact_engine", exact), ("fast_engine", fast),
+        ("fused_engine", fused), ("fusednr_engine", fusednr),
         ("pq_scan_engine", pq_point), ("reference_single_core", ref),
     ):
         if val is not None:

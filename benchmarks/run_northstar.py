@@ -95,6 +95,24 @@ def main():
                     help="build-checkpoint chunk rows (default: "
                          "dim-scaled, 250k at d=128 down to 62.5k at "
                          "d>=512)")
+    ap.add_argument("--build-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="table dtype DURING CONSTRUCTION only. bfloat16 "
+                         "halves every table-scaled buffer in the wave "
+                         "programs (at d=960/1M the f32 wave program alone "
+                         "needs 12.2 GB vs ~15 GB usable, measured via "
+                         "XLA memory_analysis round 4); the built links "
+                         "are reattached to the full-precision vectors "
+                         "for every search/sweep, so served results are "
+                         "f32-exact. bf16 rounding (2^-8 relative) is "
+                         "noise against the generator's unit cluster "
+                         "noise; recall is measured end-to-end as always")
+    ap.add_argument("--max-wave", type=int, default=None,
+                    help="cap the build wave width (the in-code HBM guard "
+                         "models the working set, but the tunnel runtime's "
+                         "true usable memory is opaque — d=960 at 1M "
+                         "capacity OOMs at the guard's 1024 pick; 512 "
+                         "fits, measured round 4)")
     ap.add_argument("--centers-per-64k", type=int, default=None,
                     help="override the generator's cluster-count scaling "
                          "(default: 256 -> cluster count grows with n; "
@@ -119,7 +137,9 @@ def main():
     # Chunked, checkpointed build (same pattern as run_bigann_10m.py):
     # the tunnel's throughput phase is sticky per process, so a slow
     # phase costs at most one chunk before a kill+relaunch redraws it.
-    cache = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}.npz"
+    bd_tag = "" if args.build_dtype == "float32" else "_bf16"
+    cache = (f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_{M}_{args.efc}"
+             f"{bd_tag}.npz")
     # build-chunk size scales inversely with dim so the per-chunk device
     # time (and hence the progress lost to a relaunch/timeout) stays
     # roughly constant; the 62.5k floor dominates for d >= 512
@@ -132,21 +152,70 @@ def main():
         log(f"resuming checkpoint ({cache}): {done} nodes, "
             f"{build_s:.1f}s build so far")
     else:
-        g = make_empty_graph(args.n, dim, M)
+        g = make_empty_graph(
+            args.n, dim, M,
+            dtype=jnp.bfloat16 if args.build_dtype == "bfloat16"
+            else jnp.float32,
+        )
         build_s, done = 0.0, 0
+    # Adaptive wave cap: the in-code HBM guard models the working set,
+    # but this tunnel runtime's true usable memory is opaque (round 4:
+    # 1M x 960 OOMs at the guard's 1024-wave pick; 512 fits). On a build
+    # OOM the cap is halved, PERSISTED, and the process exits rc=3 so the
+    # shell relaunch loop resumes from the checkpoint with the smaller
+    # wave — quality is unaffected (wave members get exact intra-wave
+    # candidates at any width, flatnav_tpu/index/build.py).
+    cap_path = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_wavecap"
+    wave_cap = args.max_wave
+    if wave_cap is None and os.path.exists(cap_path):
+        with open(cap_path) as f:
+            wave_cap = int(f.read().strip())
+        log(f"resuming with persisted wave cap {wave_cap}")
     while done < args.n:
         hi = min(done + chunk, args.n)
         t0 = time.time()
-        g = add_batch(
-            g, data[done:hi], np.arange(done, hi),
-            ef_construction=args.efc, metric=metric,
-        )
-        assert int(g.num_nodes) == hi  # host sync before the clock
+        bkw = {} if wave_cap is None else {"max_wave": wave_cap}
+        try:
+            g = add_batch(
+                g, data[done:hi], np.arange(done, hi),
+                ef_construction=args.efc, metric=metric, **bkw,
+            )
+            assert int(g.num_nodes) == hi  # host sync before the clock
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            if wave_cap is None:
+                # halve from the in-code guard's actual pick, not _MAX_WAVE
+                from flatnav_tpu.index.build import (
+                    _MAX_WAVE,
+                    _safe_wave_size,
+                )
+                wave_cap = _safe_wave_size(
+                    _MAX_WAVE, ef_construction=args.efc, m=M, d=dim,
+                    expand_factor=32, intra_candidates=64,
+                    capacity=args.n, table_bytes=args.n * dim * 4,
+                )
+            new_cap = max(128, wave_cap // 2)
+            with open(cap_path, "w") as f:
+                f.write(str(new_cap))
+            log(f"build OOM at wave cap {wave_cap or 'guard-default'}; "
+                f"persisted cap {new_cap} — relaunch to resume")
+            sys.exit(3)
         build_s += time.time() - t0
         done = hi
         save_index(cache, g, metric,
                    extra={"build_seconds": round(build_s, 1)})
         log(f"built {done}/{args.n} ({build_s:.1f}s cumulative)")
+
+    if args.build_dtype != "float32":
+        # serve at full precision: reattach the f32 vectors to the links
+        # built on the bf16 table (labels are arange in both)
+        from flatnav_tpu.index.graph import graph_from_numpy
+
+        g = graph_from_numpy(
+            np.asarray(data), np.asarray(g.links[: args.n]),
+            num_nodes=args.n, capacity=args.n,
+        )
 
     gt_path = f"{SCRATCH}/ns_{variant}_{args.n}_gt.npy"
     if os.path.exists(gt_path) and not args.rebuild:
@@ -225,7 +294,13 @@ def main():
                 log(f"{name} engine: WORKER FAULT ({e}) — marked, "
                     f"relaunch to continue")
                 sys.exit(3)
-            eng[name] = {"recall": r, "qps": round(NQ / min(times), 1)}
+            qps = NQ / min(times)
+            # scan engines do 2*N*d useful FLOP per query; report
+            # achieved FLOP/s and MFU vs bf16 peak (v5e 197 TFLOP/s)
+            tf = qps * 2.0 * args.n * dim / 1e12
+            eng[name] = {"recall": r, "qps": round(qps, 1),
+                         "achieved_tflops": round(tf, 2),
+                         "mfu": round(tf / 197.0, 4)}
             with open(eng_path, "w") as f:
                 json.dump(eng, f)
             log(f"{name} engine: {eng[name]['qps']:.0f} qps @ recall {r:.4f}")
@@ -329,6 +404,7 @@ def main():
                 "L2-normalized rows, reference grid "
                 "experiments/Makefile:333-381",
         "build_seconds": round(build_s, 1),
+        "build_dtype": args.build_dtype,
         "exact_engine": exact,
         "fast_engine": fast,
         "fused_engine": fused,

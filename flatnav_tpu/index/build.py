@@ -448,6 +448,8 @@ def _commit_back_edges(commit_fn, links, tgt, src_rep, dist_rep=None):
 #: power-of-two shape buckets used to bound jit recompilation
 _MIN_WAVE = 64
 _MAX_WAVE = MAX_WAVE
+#: tables larger than this get a per-wave host sync (see the wave loop)
+_SYNC_TABLE_BYTES = 2_000_000_000
 
 
 def _safe_wave_size(
@@ -705,6 +707,18 @@ def add_batch(
                 return back_edge_commit(_v, links_, t_, r_, metric=metric)
 
             links = _commit_back_edges(commit, links, tgt, src_rep, dist_rep)
+
+        # Large tables: retire this wave's dispatches before the next wave
+        # queues. The async pipeline otherwise keeps back_edge_commit(k),
+        # commit_vectors(k+1) and the k+1 search in flight together — at
+        # d=960/1M that is ~3 live table copies (~11.5 GB) plus search
+        # temps, which RESOURCE_EXHAUSTs the ~15 GB usable HBM (measured
+        # round 4: the 1M x 960 build OOMs at ANY wave width without this,
+        # and runs at wave 256 with it). One tiny readback per wave
+        # (block_until_ready does not reliably block on tunneled
+        # backends); sub-2 GB tables keep the fully-async pipeline.
+        if vectors.nbytes > _SYNC_TABLE_BYTES and mesh is None:
+            np.asarray(links[:1, :1])
 
         committed += w
         pos += w

@@ -76,10 +76,18 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     s = t // L
     j = pl.program_id(1)
 
-    # one bf16 MXU pass; the f32 accumulate is the ranking key's precision
+    # one bf16 MXU pass; the f32 accumulate is the ranking key's precision.
+    # Integer tables arrive UNPROMOTED (u8/i8 rows in HBM/VMEM — no 2x
+    # bf16 table copy) and are cast per-tile here; |values| <= 255 are
+    # exact in bf16 and d * 255^2 < 2^24 keeps the f32 accumulation exact,
+    # so the integer path's keys are EXACT rankings (same argument as
+    # fast_knn's uint8 phase-1, benchmarks/run_bigann_10m.py docstring).
+    rows = rows_ref[:]
+    if rows.dtype != jnp.bfloat16:
+        rows = rows.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(
         q_ref[:],
-        rows_ref[:],
+        rows,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -130,8 +138,11 @@ def fused_knn(
     Drop-in contract of `fast_knn` (exact f32/int32 rerank distances,
     ascending, [B, k] + [B, k] int32 ids; unfilled slots carry inf/-1 is
     NOT applied here — ids of invalid slots are masked inf like fast_knn).
-    Float data only (the integer path keeps fast_knn's exact int32 MXU
-    scan); integer inputs are promoted via float32.
+    uint8/int8 tables run natively (per-tile bf16 cast in the kernel is
+    exact for 8-bit values and the f32 accumulation is exact for
+    d * 255^2 < 2^24, i.e. d <= 257): phase-1 keys are EXACT integer
+    rankings and the table keeps its 1-byte/element HBM footprint. Wider
+    integer types are promoted via float32.
 
     Tuning knobs: `bucket_l` trades phase-B input size (N/L) against
     bucket-collision recall loss; `tile_size`/`query_block` size the VMEM
@@ -172,7 +183,13 @@ def fused_knn(
     b_pad = _round_up(b, qb)
     d_pad = _round_up(d, 128)
 
-    ds_bf = dataset.astype(jnp.bfloat16)
+    # 8-bit integer tables ride the kernel UNPROMOTED (the per-tile bf16
+    # cast in _scan_kernel is exact for |v| <= 255): the table's HBM
+    # footprint stays 1 byte/element — the property that lets a
+    # 100M x 128 uint8 table live resident on one chip. Wider integer
+    # types keep the old promote-via-float32 path.
+    native_int = dataset.dtype in (jnp.uint8, jnp.int8)
+    ds_bf = dataset if native_int else dataset.astype(jnp.bfloat16)
     q_bf = queries.astype(jnp.bfloat16)
     if n_pad != n:
         ds_bf = jnp.pad(ds_bf, ((0, n_pad - n), (0, 0)))

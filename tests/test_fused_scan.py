@@ -195,11 +195,34 @@ def test_fused_no_rerank_n_valid(rng):
     assert np.all(np.isfinite(np.asarray(fd)))  # k=10 < n_valid=200
 
 
-def test_fused_int_data_promotes(rng):
-    # integer tables ride the float path (promotion) — recall holds
+def test_fused_uint8_native_path(rng):
+    # uint8 tables ride the kernel UNPROMOTED (per-tile bf16 cast, exact
+    # for 8-bit values; f32 accumulation exact for d*255^2 < 2^24): the
+    # phase-1 keys are exact integer rankings, so only bucket collisions
+    # can lose a neighbor, and the rerank distances are the exact int32
+    # path's. The 100M-resident-table design rides this path.
     data = rng.integers(0, 255, (3000, 32)).astype(np.uint8)
     q = rng.integers(0, 255, (8, 32)).astype(np.uint8)
     k = 5
     ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
     fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32)
     assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.95
+    agree = np.asarray(fi) == np.asarray(ei)
+    np.testing.assert_allclose(
+        np.asarray(fd)[agree], np.asarray(ed)[agree], rtol=0, atol=0
+    )
+    # int8 too (|v| <= 128 exact in bf16)
+    data8 = (data.astype(np.int16) - 128).astype(np.int8)
+    q8 = (q.astype(np.int16) - 128).astype(np.int8)
+    e8d, e8i = brute_force_knn(jnp.asarray(data8), jnp.asarray(q8), k)
+    f8d, f8i = fused_knn(jnp.asarray(data8), jnp.asarray(q8), k, rerank=32)
+    assert _recall(np.asarray(f8i), np.asarray(e8i), k) >= 0.95
+    # no-rerank mode on the native path: calibrated keys are exact for
+    # integer data (no bf16 input rounding at all), so distances where
+    # ids agree must match the oracle bit-for-bit
+    fnd, fni = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=32,
+                         exact_rerank=False)
+    agree = np.asarray(fni) == np.asarray(ei)
+    np.testing.assert_allclose(
+        np.asarray(fnd)[agree], np.asarray(ed)[agree], rtol=0, atol=0
+    )
