@@ -88,15 +88,18 @@ class ScanAdapter:
     ef_search is accepted and ignored (the scan has no beam). All other
     attributes delegate to the underlying Index."""
 
-    def __init__(self, index, rerank: int, fused: bool = True):
+    def __init__(self, index, rerank: int, fused: bool = True,
+                 exact_rerank: bool = True):
         self._index = index
         self._rerank = rerank
         self._fused = fused
+        self._exact_rerank = exact_rerank
 
     def search(self, queries, K: int, ef_search: int):
         del ef_search
         return self._index.search_exact(
-            queries, K, rerank=self._rerank, fused=self._fused
+            queries, K, rerank=self._rerank, fused=self._fused,
+            exact_rerank=self._exact_rerank,
         )
 
     def __getattr__(self, name):
@@ -184,13 +187,17 @@ def train_index(
         collect_stats=True,
     )
     t0 = time.time()
-    if index_type in ("flatnav-exact", "flatnav-fast", "flatnav-fused"):
+    if index_type in ("flatnav-exact", "flatnav-fast", "flatnav-fused",
+                      "flatnav-fusednr"):
         # scan engines need only the vectors — allocate without edges
         # (the reference's allocateNode path, bindings.cpp:308-324)
         index.allocate_nodes(train_data)
         rerank = 0 if index_type == "flatnav-exact" else 32
-        fused = index_type == "flatnav-fused"
-        return ScanAdapter(index, rerank, fused=fused), time.time() - t0
+        fused = index_type.startswith("flatnav-fused")
+        return ScanAdapter(
+            index, rerank, fused=fused,
+            exact_rerank=index_type != "flatnav-fusednr",
+        ), time.time() - t0
     if index_type == "flatnav-pq-scan":
         # PQ-ADC scan: train PQ + encode is the "build" (the reference's
         # flatnav_pq tool role); raw vectors kept for shortlist rerank
@@ -289,7 +296,8 @@ def parse_args(argv=None):
     p.add_argument(
         "--index-type", default="flatnav",
         choices=["flatnav", "flatnav-exact", "flatnav-fast",
-                 "flatnav-fused", "flatnav-pq-scan", "hnsw"],
+                 "flatnav-fused", "flatnav-fusednr", "flatnav-pq-scan",
+                 "hnsw"],
     )
     p.add_argument("--data-type", default="float32")
     p.add_argument("--num-node-links", type=int, nargs="+", default=[32])

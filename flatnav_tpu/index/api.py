@@ -285,7 +285,7 @@ class Index:
 
     def search_exact(
         self, queries: np.ndarray, K: int, rerank: int = 0,
-        fused: bool = True,
+        fused: bool = True, exact_rerank: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """EXACT batched kNN over the committed rows (recall 1.0) via the
         tiled MXU scan (ops.brute_force_knn).
@@ -306,8 +306,13 @@ class Index:
         kernel (ops.fused_knn: matmul + bucket-min reduced in VMEM, so
         the [B, N] key matrix never touches HBM — measured 1.7x
         ops.fast_knn at 1M x 128); `fused=False` keeps the approx_min_k
-        form (ops.fast_knn), which integer data always uses (its
-        shortlist key is exact int32 on the s8 MXU).
+        form (ops.fast_knn) for float data and the exact int32 scan for
+        integers. 8-bit integer tables ride the fused kernel UNPROMOTED
+        (exact integer phase-1 keys; ops/fused_scan.py native-int path).
+        `exact_rerank=False` skips the rerank's HBM row gather
+        (DMA-issue-rate-bound, ~150 ns/row) and ranks by the kernel's
+        keys — distances are then key-calibrated (exact for integer
+        tables, within bf16 input rounding for float).
         """
         queries = np.asarray(queries)
         if queries.ndim == 1:
@@ -334,12 +339,21 @@ class Index:
                 pad = bs - (hi - lo)
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], pad, 0)])
             qdev = jnp.asarray(chunk.astype(qdtype, copy=False))
-            if rerank > 0 and not np.issubdtype(qdtype, np.integer):
-                knn = fused_knn if fused else fast_knn
-                dists, ids = knn(
-                    g.vectors, qdev, K, self._metric,
-                    rerank=rerank, n_valid=g.num_nodes,
-                )
+            int_q = np.issubdtype(qdtype, np.integer)
+            if rerank > 0 and (not int_q or (
+                fused and g.vectors.dtype in (jnp.uint8, jnp.int8)
+            )):
+                if fused:
+                    dists, ids = fused_knn(
+                        g.vectors, qdev, K, self._metric,
+                        rerank=rerank, n_valid=g.num_nodes,
+                        exact_rerank=exact_rerank,
+                    )
+                else:
+                    dists, ids = fast_knn(
+                        g.vectors, qdev, K, self._metric,
+                        rerank=rerank, n_valid=g.num_nodes,
+                    )
             else:
                 dists, ids = brute_force_knn(
                     g.vectors, qdev, K, self._metric, n_valid=g.num_nodes,

@@ -203,6 +203,40 @@ def test_search_exact_matches_ground_truth(rng):
     assert g_dists[:, 0].min() >= dists[:, 0].min() - 1e-5
 
 
+def test_search_exact_norerank_and_uint8_fused(rng):
+    """exact_rerank=False (no-gather key ranking) holds shortlist-quality
+    ids, and 8-bit tables ride the fused kernel unpromoted with exact
+    integer keys — both through the public search_exact surface."""
+    n, d, k = 3000, 24, 10
+    data = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((32, d), dtype=np.float32)
+    index = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=8
+    )
+    index.allocate_nodes(data)
+    _, e_l = index.search_exact(queries, K=k)
+    _, nr_l = index.search_exact(queries, K=k, rerank=32,
+                                 exact_rerank=False)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / k
+        for a, b in zip(nr_l, e_l)
+    ])
+    assert overlap >= 0.97, overlap
+
+    du8 = rng.integers(0, 255, (n, d)).astype(np.uint8)
+    idx8 = flatnav_tpu.index.create(
+        distance_type="l2", dim=d, dataset_size=n, max_edges_per_node=8,
+        index_data_type=DataType.uint8,
+    )
+    idx8.allocate_nodes(du8)
+    e_d, e_l8 = idx8.search_exact(du8[:32], K=k)
+    f_d, f_l8 = idx8.search_exact(du8[:32], K=k, rerank=32)
+    # integer keys are exact: wherever ids agree distances match exactly
+    agree = f_l8 == e_l8
+    np.testing.assert_array_equal(f_d[agree], e_d[agree])
+    assert (f_l8[:, 0] == e_l8[:, 0]).mean() >= 0.95
+
+
 def test_save_load_bfloat16_roundtrip(rng, tmp_path):
     """npz has no bfloat16: the bits are stored as uint16 and viewed back
     on load — pre-fix, save silently wrote raw void ('|V2') that
