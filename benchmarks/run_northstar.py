@@ -245,7 +245,7 @@ def main():
             outs.append(np.asarray(r.labels))
         return np.concatenate(outs, 0)
 
-    exact = fast = fused = None
+    exact = fast = fused = fusednr = None
     if not args.skip_scan_engines:
         def run_engine(fn):
             outs = []
@@ -268,6 +268,13 @@ def main():
         fu = lambda q: fused_knn(
             g.vectors, q, K, metric, rerank=32, n_valid=g.num_nodes,
         )
+        # no-gather variant: ranks by the kernel's f32-accumulated keys
+        # (skips the DMA-issue-bound [B, rerank] row gather — the fused
+        # engine's single largest cost at HBM-resident scale)
+        fnr = lambda q: fused_knn(
+            g.vectors, q, K, metric, rerank=32, n_valid=g.num_nodes,
+            exact_rerank=False,
+        )
         # Engine points persist like sweep rows: a worker fault here must
         # not wedge the relaunch loop before the graph sweep, and a
         # relaunch must not re-attempt a faulted (or finished) engine.
@@ -276,7 +283,8 @@ def main():
         if os.path.exists(eng_path) and not args.rebuild:
             with open(eng_path) as f:
                 eng = json.load(f)
-        for name, fn in (("exact", ex), ("fast", fa), ("fused", fu)):
+        for name, fn in (("exact", ex), ("fast", fa), ("fused", fu),
+                         ("fusednr", fnr)):
             if name in eng:
                 log(f"{name} engine: resuming recorded point {eng[name]}")
                 continue
@@ -305,7 +313,7 @@ def main():
                 json.dump(eng, f)
             log(f"{name} engine: {eng[name]['qps']:.0f} qps @ recall {r:.4f}")
         exact, fast = eng.get("exact"), eng.get("fast")
-        fused = eng.get("fused")
+        fused, fusednr = eng.get("fused"), eng.get("fusednr")
 
     # Sweep rows persist after every point (a worker fault mid-sweep
     # loses one point, not the run) and completed points are skipped on
@@ -367,7 +375,19 @@ def main():
                 break
 
     ref = None
-    if not args.no_baseline:
+    # run_ref_baseline.py runs the same single-core C++ baseline in
+    # parallel with the TPU phase (this host has ONE vCPU; serializing
+    # the ~1h+ build/sweep after the TPU work doubles wall clock) and
+    # persists it to a sidecar — load that instead of re-measuring.
+    sidecar = os.path.join(
+        _REPO,
+        f"benchmarks/results_{variant}_efc{args.efc}.json.refside.json")
+    if (not args.no_baseline and args.n == 1_000_000
+            and os.path.exists(sidecar)):
+        with open(sidecar) as f:
+            ref = json.load(f)
+        log(f"reference baseline loaded from sidecar {sidecar}")
+    if ref is None and not args.no_baseline:
         binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
         if not os.path.exists(binary):
             subprocess.run(
@@ -408,6 +428,7 @@ def main():
         "exact_engine": exact,
         "fast_engine": fast,
         "fused_engine": fused,
+        "fusednr_engine": fusednr,
         "graph_operating_point": chosen,
         "sweep": rows,
         "reference_single_core": ref,

@@ -74,7 +74,7 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     qb = q_ref.shape[0]
     t = rows_ref.shape[0]
     s = t // L
-    j = pl.program_id(1)
+    j = pl.program_id(0)
 
     # one bf16 MXU pass; the f32 accumulate is the ranking key's precision.
     # Integer tables arrive UNPROMOTED (u8/i8 rows in HBM/VMEM — no 2x
@@ -217,23 +217,29 @@ def fused_knn(
 
     s = t // L
     nb = n_pad // L  # total buckets
-    grid = (b_pad // qb, n_pad // t)
+    # Grid order: row tiles OUTER, query blocks INNER. Pallas re-fetches
+    # an input block only when its index-map output changes, so each
+    # [T, d] row tile is DMA'd from HBM exactly once and stays VMEM-
+    # resident while every query block sweeps it — table traffic is
+    # N*d bytes total instead of (B/QB)*N*d (8x less at B=4096, QB=512;
+    # the re-fetched query blocks are ~1000x smaller than the table).
+    grid = (n_pad // t, b_pad // qb)
     kern = functools.partial(_scan_kernel, L=L)
     bmin, bids = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((qb, d_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((qb, d_pad), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, d_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((t, d_pad), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i, j: (0, j),
+            pl.BlockSpec((1, t), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((qb, s), lambda i, j: (i, j),
+            pl.BlockSpec((qb, s), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, s), lambda i, j: (i, j),
+            pl.BlockSpec((qb, s), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -243,8 +249,8 @@ def fused_knn(
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
             bytes_accessed=(
-                b_pad * d_pad * 2
-                + grid[0] * n_pad * d_pad * 2
+                grid[0] * b_pad * d_pad * 2
+                + n_pad * d_pad * 2
                 + b_pad * nb * 8
             ),
             transcendentals=0,
