@@ -129,10 +129,23 @@ def main():
     if args.centers_per_64k is not None:
         gen_kw["centers_per_64k"] = args.centers_per_64k
         variant = f"{args.config}-c{args.centers_per_64k}"
-    data, queries = clustered(args.n, dim, NQ, **gen_kw)
-    if cfg["normalize"]:
-        data /= np.linalg.norm(data, axis=1, keepdims=True) + 1e-12
-        queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-12
+    # The generator is seed-deterministic but a 1M x 960 draw costs
+    # minutes of host time on this 1-vCPU box — and the rc=3 fault/OOM
+    # relaunch loop pays it on EVERY launch. Cache the (normalized)
+    # arrays on disk keyed by the workload.
+    dcache = f"{SCRATCH}/ns_{variant}_{args.n}_{dim}_data.npz"
+    if os.path.exists(dcache):
+        z = np.load(dcache)
+        data, queries = z["data"], z["queries"]
+        log(f"data loaded from cache {dcache}")
+    else:
+        data, queries = clustered(args.n, dim, NQ, **gen_kw)
+        if cfg["normalize"]:
+            data /= np.linalg.norm(data, axis=1, keepdims=True) + 1e-12
+            queries /= (
+                np.linalg.norm(queries, axis=1, keepdims=True) + 1e-12)
+        np.savez(dcache + ".tmp.npz", data=data, queries=queries)
+        os.replace(dcache + ".tmp.npz", dcache)
 
     # Chunked, checkpointed build (same pattern as run_bigann_10m.py):
     # the tunnel's throughput phase is sticky per process, so a slow
