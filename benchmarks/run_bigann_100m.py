@@ -38,6 +38,7 @@ Writes benchmarks/results_bigann_100m_class.json.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -141,7 +142,10 @@ def push_resident(data_mm, n_pad):
     n = data_mm.shape[0]
     buf = jnp.zeros((n_pad, D), jnp.uint8)
 
-    @jax.jit
+    # donate the table buffer: without aliasing, every chunk update
+    # holds TWO table-sized buffers (25.6 GB transient at n=100M — an
+    # instant OOM against ~15 GB usable HBM)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def upd(b, chunk, start):
         return jax.lax.dynamic_update_slice(b, chunk, (start, 0))
 
