@@ -159,9 +159,20 @@ def main():
     chunk = (args.chunk if args.chunk is not None
              else max(62_500, 250_000 * 128 // dim))
     if os.path.exists(cache) and not args.rebuild:
-        g, _, meta = load_index(cache)
-        build_s = float(meta.get("build_seconds", 0.0))
-        done = int(g.num_nodes)
+        # The checkpoint push itself can OOM while a leaked worker's
+        # buffers drain (docs/benchmarking.md "HBM leak on abnormal
+        # client exit") — that is a fault-exit for the relaunch loop to
+        # sleep through, not a crash.
+        try:
+            g, _, meta = load_index(cache)
+            build_s = float(meta.get("build_seconds", 0.0))
+            done = int(g.num_nodes)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log("checkpoint resume OOM (leaked HBM still draining?) — "
+                "relaunch to retry")
+            sys.exit(3)
         log(f"resuming checkpoint ({cache}): {done} nodes, "
             f"{build_s:.1f}s build so far")
     else:
