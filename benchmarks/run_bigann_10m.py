@@ -303,8 +303,40 @@ def main():
                 rows[-1]["qps"] = NQ / min(times)
                 chosen = dict(rows[-1])
                 break
+    # Neither graph engine reaches 0.95 on this workload (the reference
+    # single core tops out at 0.8067 @ ef=3072 on the calibrated 10M,
+    # refside sidecar) — time the best sub-target point so the
+    # head-to-head is a measured pair instead of a null.
+    if chosen is None and rows:
+        best = max((r for r in rows if "recall" in r),
+                   key=lambda r: r["recall"], default=None)
+        if best is not None:
+            try:
+                times = []
+                for _ in range(3):
+                    t0 = time.time()
+                    run_graph(best["ef"], best["expand"])
+                    times.append(time.time() - t0)
+                best["qps"] = NQ / min(times)
+                chosen = dict(best, target_missed=True)
+            except Exception as e:
+                log(f"best-point retime FAULTED: {e!r}")
+
+    size_tag = "" if N == 10_000_000 else f"_n{N}"
+    stem = ("results_bigann_10m" if variant == "bigann"
+            else f"results_{variant}_10m")
+    path = os.path.join(_REPO, f"benchmarks/{stem}{size_tag}.json")
 
     ref = None
+    sidecar = path + ".refside.json"
+    if run_baseline and os.path.exists(sidecar):
+        # run_ref_baseline.py already measured the single core on this
+        # seed-deterministic workload (a multi-hour CPU run on this
+        # 1-vCPU host) — merge its point instead of re-running in-process
+        with open(sidecar) as f:
+            ref = json.load(f)
+        log(f"reference baseline loaded from sidecar {sidecar}")
+        run_baseline = False
     if run_baseline:
         binary = os.path.join(_REPO, "tools/reference_baseline/bench_ref")
         if os.path.exists(binary):
@@ -325,9 +357,6 @@ def main():
             else:
                 log(f"baseline failed: {out.stderr[-300:]}")
 
-    size_tag = "" if N == 10_000_000 else f"_n{N}"
-    path = os.path.join(
-        _REPO, f"benchmarks/results_bigann_10m{size_tag}.json")
     result = {}
     if os.path.exists(path):  # merge partial (--pq-only) runs
         with open(path) as f:
