@@ -143,8 +143,16 @@ class ProductQuantizer:
             raise ValueError(
                 f"dim {dim} not divisible by {num_subquantizers} subquantizers"
             )
-        if nbits != 8:
-            raise ValueError("only 8-bit codes are supported (256 centroids)")
+        if nbits not in (4, 8):
+            raise ValueError(
+                "nbits must be 8 (256 centroids, the reference's layout) or "
+                "4 (16 centroids — the TPU-native fast-scan point: the "
+                "one-hot ADC contraction's FLOPs scale with 2^nbits, so "
+                "nc=16 cuts the MXU work 16x per scanned code)"
+            )
+        if nbits == 4 and num_subquantizers % 2:
+            raise ValueError("nbits=4 requires an even num_subquantizers "
+                             "(two codes pack per byte)")
         self.dim = dim
         self.num_subquantizers = num_subquantizers
         self.nbits = nbits
@@ -157,7 +165,7 @@ class ProductQuantizer:
         return self.codebook is not None
 
     def code_size_bytes(self) -> int:
-        return self.num_subquantizers  # 8 bits per subquantizer
+        return self.num_subquantizers * self.nbits // 8
 
     def train(
         self,
@@ -246,6 +254,23 @@ class ProductQuantizer:
         return d
 
 
+def pack_codes_4bit(codes) -> jax.Array:
+    """[N, S] 4-bit values -> [N, S//2] uint8 (even subspace in the low
+    nibble). Halves the scanned HBM bytes for nbits=4 quantizers."""
+    codes = jnp.asarray(codes)
+    n, s = codes.shape
+    assert s % 2 == 0, s
+    c = codes.astype(jnp.uint8).reshape(n, s // 2, 2)
+    return (c[..., 0] | (c[..., 1] << 4)).astype(jnp.uint8)
+
+
+def unpack_codes_4bit(packed: jax.Array) -> jax.Array:
+    """[N, S//2] uint8 -> [N, S] values in [0, 16) (pack_codes_4bit inverse)."""
+    lo = packed & jnp.uint8(0x0F)
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+
+
 def score_codes(tables: jax.Array, codes: jax.Array) -> jax.Array:
     """ADC scoring: tables [B, M_pq, nc], codes [B, C, M_pq] -> [B, C].
 
@@ -298,10 +323,10 @@ def pq_beam_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_size", "rerank"),
+    static_argnames=("k", "metric", "tile_size", "rerank", "packed_4bit"),
 )
 def pq_scan_knn(
-    codes: jax.Array,  # [N, S] uint8
+    codes: jax.Array,  # [N, S] uint8 (or [N, S//2] when packed_4bit)
     tables: jax.Array,  # [B, S, nc] f32 ADC tables (pq.adc_tables)
     k: int,
     metric: MetricType = MetricType.L2,
@@ -310,6 +335,7 @@ def pq_scan_knn(
     n_valid: jax.Array | None = None,
     vectors: jax.Array | None = None,
     queries: jax.Array | None = None,
+    packed_4bit: bool = False,
 ):
     """ADC full-table scan on the MXU: the beyond-HBM-scale engine.
 
@@ -321,6 +347,16 @@ def pq_scan_knn(
     [B, S*nc] in one bf16 MXU pass — identical structure to fast_knn's
     phase 1 with S*nc as the feature dimension. A hardware approx_min_k
     shortlist per tile feeds the rerank.
+
+    The contraction runs at MXU peak (measured ~95 TFLOP/s at 10M), so
+    throughput is set by its FLOP count 2*N*S*nc per query — 2^nbits is
+    the lever, not bandwidth. A 4-bit quantizer (nc=16) cuts the scan
+    work 16x per code; with `packed_4bit=True` the codes array holds two
+    codes per byte ([N, S//2]) so HBM traffic halves too, and the
+    in-tile nibble unpack is VPU-local. That is the fast-scan operating
+    point: m_pq=16/nbits=4 at d=128 scans 8 bytes/node at ~2x a raw
+    uint8 scan's FLOPs — with the raw-vector rerank below recovering the
+    recall the coarser codes give up.
 
     Rerank modes:
     - `vectors` + `queries` given: RAW-VECTOR rerank — gather the [B, r]
@@ -341,16 +377,22 @@ def pq_scan_knn(
     (+1 offset for IP, matching asymmetric_distances); raw-mode
     distances are exact.
     """
-    n, s = codes.shape
+    n = codes.shape[0]
     b, s2, nc = tables.shape
+    s = codes.shape[1] * 2 if packed_4bit else codes.shape[1]
     assert s == s2, (s, s2)
+    if packed_4bit:
+        assert nc <= 16, ("packed_4bit requires a 4-bit quantizer "
+                          f"(got {nc} centroids)")
     r = max(rerank, k)
     n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     tile = max(min(tile_size, n), 128)
     n_tiles = -(-n // tile)
     if n_tiles * tile != n:
         codes = jnp.concatenate(
-            [codes, jnp.zeros((n_tiles * tile - n, s), codes.dtype)], axis=0
+            [codes,
+             jnp.zeros((n_tiles * tile - n, codes.shape[1]), codes.dtype)],
+            axis=0,
         )
     offset = 1.0 if metric == MetricType.IP else 0.0
     t_flat = tables.reshape(b, s * nc)
@@ -360,6 +402,9 @@ def pq_scan_knn(
         best_key, best_i = carry
         start = tile_idx * tile
         rows = jax.lax.dynamic_slice_in_dim(codes, start, tile, axis=0)
+        if packed_4bit:
+            # HBM saw the packed nibbles; the widening is VPU-local
+            rows = unpack_codes_4bit(rows)
         onehot = (
             rows.astype(jnp.int32)[:, :, None] == cent_iota
         ).astype(jnp.bfloat16).reshape(tile, s * nc)
@@ -395,6 +440,10 @@ def pq_scan_knn(
         # exact-f32 ADC rerank of the [B, r] shortlist: one-hot select
         # on the VPU (sum over where(code==c, T[b,s,c], 0)) — gather-free
         cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
+        if packed_4bit:
+            bb, rr, _ = cand_codes.shape
+            cand_codes = unpack_codes_4bit(
+                cand_codes.reshape(bb * rr, -1)).reshape(bb, rr, s)
         sel = (
             cand_codes.astype(jnp.int32)[:, :, :, None]
             == cent_iota[None]

@@ -459,6 +459,7 @@ class PQIndex:
         pq = ProductQuantizer(
             dim=m_pq * dsub,
             num_subquantizers=m_pq,
+            nbits=int(nc - 1).bit_length(),  # 16 -> 4, 256 -> 8
             metric=MetricType.IP if is_ip else MetricType.L2,
         )
         pq.codebook = PQCodebook(centroids)

@@ -271,3 +271,94 @@ def test_pq_add_rejects_short_labels(clustered_data):
     idx = PQIndex(pq, dataset_size=1024, max_edges_per_node=8)
     with pytest.raises(ValueError, match="labels length"):
         idx.add(data[:100], ef_construction=16, labels=np.arange(5))
+
+
+def test_pq4_pack_roundtrip_and_scan_equality(clustered_data):
+    # nbits=4: pack/unpack is lossless, and the packed scan returns
+    # exactly the unpacked scan's results (the nibble unpack is
+    # VPU-local inside the tile; HBM sees half the bytes)
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq import (
+        pack_codes_4bit,
+        pq_scan_knn,
+        unpack_codes_4bit,
+    )
+
+    data, queries = clustered_data
+    data, queries = data[:1500], queries[:16]
+    pq = ProductQuantizer(dim=32, num_subquantizers=8, nbits=4).train(
+        data[:1000], n_iters=15
+    )
+    assert pq.num_centroids == 16
+    assert pq.code_size_bytes() == 4  # 8 subspaces * 4 bits
+    codes = pq.encode(data)
+    assert int(jnp.max(codes)) < 16
+    packed = pack_codes_4bit(codes)
+    assert packed.shape == (1500, 4)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_codes_4bit(packed)), np.asarray(codes)
+    )
+    tables = pq.adc_tables(queries)
+    d_u, ids_u = pq_scan_knn(
+        jnp.asarray(codes), tables, 10, metric=MetricType.L2,
+        tile_size=512, rerank=64,
+    )
+    d_p, ids_p = pq_scan_knn(
+        packed, tables, 10, metric=MetricType.L2,
+        tile_size=512, rerank=64, packed_4bit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_u), np.asarray(ids_p))
+    np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p), rtol=1e-6)
+
+
+def test_pq4_raw_rerank_recall(clustered_data):
+    # the coarse 4-bit codes alone rank poorly, but the raw-vector
+    # rerank recovers recall — the fast-scan operating point
+    import jax.numpy as jnp
+
+    from flatnav_tpu.ops import brute_force_knn
+    from flatnav_tpu.quantization.pq import pack_codes_4bit, pq_scan_knn
+
+    data, queries = clustered_data
+    data, queries = data[:1500], queries[:16]
+    pq = ProductQuantizer(dim=32, num_subquantizers=8, nbits=4).train(
+        data[:1000], n_iters=15
+    )
+    packed = pack_codes_4bit(pq.encode(data))
+    tables = pq.adc_tables(queries)
+    _, gt = brute_force_knn(
+        jnp.asarray(data), jnp.asarray(queries), 10, MetricType.L2
+    )
+    _, ids = pq_scan_knn(
+        packed, tables, 10, metric=MetricType.L2, tile_size=512,
+        rerank=128, vectors=jnp.asarray(data),
+        queries=jnp.asarray(queries), packed_4bit=True,
+    )
+    assert _recall(np.asarray(ids), np.asarray(gt)) >= 0.9
+
+
+def test_pq4_index_save_load(clustered_data, tmp_path):
+    # PQIndex round-trips a 4-bit quantizer (nbits recovered from the
+    # centroid count on load)
+    data, queries = clustered_data
+    pq = ProductQuantizer(dim=32, num_subquantizers=8, nbits=4).train(
+        data[:1000], n_iters=10
+    )
+    idx = PQIndex(pq, dataset_size=2048, max_edges_per_node=8)
+    idx.add(data[:1000], ef_construction=32)
+    path = str(tmp_path / "pq4.idx")
+    idx.save(path)
+    idx2 = PQIndex.load(path)
+    assert idx2.pq.nbits == 4
+    assert idx2.pq.num_centroids == 16
+    d1, l1 = idx.search(queries[:8], K=5, ef_search=32)
+    d2, l2 = idx2.search(queries[:8], K=5, ef_search=32)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_pq_nbits_validation():
+    with pytest.raises(ValueError, match="nbits"):
+        ProductQuantizer(dim=32, num_subquantizers=8, nbits=6)
+    with pytest.raises(ValueError, match="even"):
+        ProductQuantizer(dim=33, num_subquantizers=3, nbits=4)
