@@ -175,6 +175,8 @@ def main():
     ap.add_argument("--qb", type=int, default=128)
     ap.add_argument("--rerank", type=int, default=32)
     ap.add_argument("--m-pq", type=int, default=32)
+    ap.add_argument("--m-pq4", type=int, default=16,
+                    help="subquantizers for the 4-bit fast-scan point")
     ap.add_argument("--pq-rerank", type=int, default=64)
     ap.add_argument("--no-pq", action="store_true")
     ap.add_argument("--skip-exact", action="store_true")
@@ -232,6 +234,20 @@ def main():
 
     scan_flops = 2.0 * n * D
     results = {}
+    # incremental flush: a late-stage fault (device OOM during PQ, a
+    # relaunch mid-run) must not lose the engine points already measured
+    size_tag = "" if n >= 50_000_000 else f"_n{n}"
+    path = os.path.join(
+        _REPO, f"benchmarks/results_bigann_100m_class{size_tag}.json")
+
+    def flush():
+        prev = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+        prev.update(results)
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=2)
     B = args.b
 
     def run_fused(exact_rerank):
@@ -256,6 +272,7 @@ def main():
     except Exception as e:
         log(f"fused engines FAULTED: {e!r}")
         results["fused_fault"] = repr(e)
+    flush()
 
     if not args.skip_exact:
         def run_exact():
@@ -272,6 +289,7 @@ def main():
         except Exception as e:
             log(f"exact engine FAULTED: {e!r}")
             results["exact_fault"] = repr(e)
+        flush()
 
     if not args.no_pq:
         from flatnav_tpu.quantization import ProductQuantizer
@@ -323,6 +341,76 @@ def main():
         except Exception as e:
             log(f"pq engine FAULTED: {e!r}")
             results["pq_fault"] = repr(e)
+        flush()
+        # free the 8-bit codes (3.2 GB at m_pq=32) before the pq4 push:
+        # table 12.8 + codes8 3.2 + packed4 0.8 GB would exceed the
+        # ~15 GiB usable HBM (the closure holds the last reference)
+        del run_pq, codes_dev
+
+        # 4-bit fast-scan point: at nc=16 the one-hot contraction does
+        # 16x less MXU work per code than nbits=8 (the scan is
+        # MXU-bound) and the nibble-packed codes are 0.8 GB at 100M —
+        # this is the engine that stays viable when even uint8 rows
+        # would not fit HBM.
+        try:
+            from flatnav_tpu.quantization.pq import pack_codes_4bit
+
+            t0 = time.time()
+            pq4 = ProductQuantizer(
+                dim=D, num_subquantizers=args.m_pq4, nbits=4).train(
+                sample, n_iters=25)
+            p4_path = f"{SCRATCH}/100m_codes4_{n}_{D}_{args.m_pq4}.npy"
+            if os.path.exists(p4_path) and not args.rebuild:
+                packed4 = np.load(p4_path)
+            else:
+                log("encoding 100M rows at nbits=4 (chunked)")
+                chunks = []
+                for lo in range(0, n, 2_000_000):
+                    blk = jnp.asarray(np.ascontiguousarray(
+                        data_mm[lo : lo + 2_000_000])).astype(jnp.float32)
+                    chunks.append(np.asarray(pack_codes_4bit(
+                        pq4.encode(blk))))
+                packed4 = np.concatenate(chunks, 0)
+                np.save(p4_path, packed4)
+            prep4_s = time.time() - t0
+            packed4_dev = jnp.asarray(packed4)
+            log(f"PQ4 ready: {packed4_dev.nbytes/1e9:.1f} GB packed "
+                f"codes ({prep4_s:.0f}s prep)")
+
+            def run_pq4(rr):
+                def go():
+                    outs = []
+                    for lo in range(0, NQ, B):
+                        tables = pq4.adc_tables(
+                            queries[lo : lo + B].astype(np.float32))
+                        _, ids = pq_scan_knn(
+                            packed4_dev, tables, K, metric=MetricType.L2,
+                            tile_size=131072, rerank=rr, packed_4bit=True,
+                            vectors=table,
+                            queries=q_dev[lo : lo + B],
+                        )
+                        outs.append(np.asarray(ids))
+                    return np.concatenate(outs, 0)
+                return go
+
+            best4 = None
+            for rr in (args.pq_rerank, 128, 256):
+                pt4 = time_engine(run_pq4(rr), f"pq4-scan rerank={rr}")
+                pt4["rerank"] = rr
+                if best4 is None or (pt4["recall"], pt4["qps"]) > (
+                        best4["recall"], best4["qps"]):
+                    best4 = pt4
+                if pt4["recall"] >= 0.95:
+                    best4 = pt4
+                    break
+            best4["prep_seconds"] = round(prep4_s, 1)
+            best4["code_bytes_per_node"] = args.m_pq4 // 2
+            best4["nbits"] = 4
+            results["pq4_scan_engine"] = best4
+        except Exception as e:
+            log(f"pq4 engine FAULTED: {e!r}")
+            results["pq4_fault"] = repr(e)
+        flush()
 
     out = {
         "workload": f"clustered-c26 uint8 {n}x{D} L2 k={K} (one v5e chip)",
@@ -342,9 +430,7 @@ def main():
         **results,
     }
     # smoke-size runs must never clobber the headline artifact
-    size_tag = "" if n >= 50_000_000 else f"_n{n}"
-    path = os.path.join(
-        _REPO, f"benchmarks/results_bigann_100m_class{size_tag}.json")
+    # (path computed up front for the incremental flush)
     prev = {}
     if os.path.exists(path):
         with open(path) as f:

@@ -77,6 +77,9 @@ def main():
     ap.add_argument("--efc", type=int, default=EFC)
     ap.add_argument("--m-pq", type=int, default=16,
                     help="PQ subquantizers (code bytes/node)")
+    ap.add_argument("--m-pq4", type=int, default=16,
+                    help="subquantizers for the 4-bit fast-scan point "
+                         "(m_pq4/2 code bytes/node)")
     ap.add_argument("--pq-rerank", type=int, default=64)
     ap.add_argument("--centers-per-64k", type=int, default=None,
                     help="calibrated generator density (the c26 setting "
@@ -204,7 +207,7 @@ def main():
     # vs 128 raw), then the one-hot MXU contraction scan + exact-f32 ADC
     # rerank. Recall here is bounded by PQ quantization error — recorded
     # against the raw-vector ground truth like every other engine.
-    pq_point = None
+    pq_point = pq4_point = None
     if "--no-pq" not in sys.argv:
         from flatnav_tpu.quantization import ProductQuantizer
         from flatnav_tpu.quantization.pq import pq_scan_knn
@@ -248,10 +251,83 @@ def main():
                 outs.append(np.asarray(ids))
             return np.concatenate(outs, 0)
 
-        pq_point = time_engine(run_pq, "pq-scan engine", scan=False)
-        pq_point["prep_seconds"] = round(pq_prep_s, 1)
-        pq_point["code_bytes_per_node"] = args.m_pq
-        pq_point["rerank"] = args.pq_rerank
+        try:
+            pq_point = time_engine(run_pq, "pq-scan engine", scan=False)
+            pq_point["prep_seconds"] = round(pq_prep_s, 1)
+            pq_point["code_bytes_per_node"] = args.m_pq
+            pq_point["rerank"] = args.pq_rerank
+        except Exception as e:
+            log(f"pq engine FAULTED: {e!r}")
+
+        # 4-bit fast-scan point: nc=16 cuts the one-hot contraction's
+        # FLOPs 16x (the scan is MXU-bound, ~95 TFLOP/s measured, so
+        # throughput ~ 1/(S*nc)); nibble-packed codes halve HBM reads.
+        # The coarser codes rank worse — the raw rerank width carries
+        # recall, swept cheap since the scan dominates.
+        from flatnav_tpu.quantization.pq import pack_codes_4bit
+
+        t0 = time.time()
+        try:
+            pq4 = ProductQuantizer(
+                dim=D, num_subquantizers=args.m_pq4, nbits=4).train(
+                data[:500_000].astype(np.float32), n_iters=25)
+            p4_path = (f"{SCRATCH}/10m_codes4_{variant}_{N}_{D}_"
+                       f"{args.m_pq4}.npy")
+            if os.path.exists(p4_path) and "--rebuild" not in sys.argv:
+                packed4 = np.load(p4_path)
+            else:
+                packed4 = np.concatenate([
+                    np.asarray(pack_codes_4bit(pq4.encode(
+                        data[lo : lo + chunk].astype(np.float32))))
+                    for lo in range(0, N, chunk)
+                ])
+                np.save(p4_path, packed4)
+            pq4_prep_s = time.time() - t0
+            log(f"PQ4 train+encode: {pq4_prep_s:.1f}s "
+                f"({packed4.nbytes/1e9:.2f} GB packed codes)")
+            packed4_dev = jnp.asarray(packed4)
+        except Exception as e:
+            log(f"pq4 prep FAULTED: {e!r}")
+            packed4_dev = None
+
+        def run_pq4(rr):
+            def go():
+                outs = []
+                for lo in range(0, NQ, BATCH):
+                    tables = pq4.adc_tables(
+                        queries[lo : lo + BATCH].astype(np.float32))
+                    _, ids = pq_scan_knn(
+                        packed4_dev, tables, K, metric=MetricType.L2,
+                        tile_size=131072, rerank=rr, packed_4bit=True,
+                        vectors=g.vectors, queries=q_dev[lo : lo + BATCH],
+                    )
+                    outs.append(np.asarray(ids))
+                return np.concatenate(outs, 0)
+            return go
+
+        best4 = None
+        for rr in (() if packed4_dev is None
+                   else (args.pq_rerank, 128, 256)):
+            try:
+                pt = time_engine(run_pq4(rr), f"pq4-scan rerank={rr}",
+                                 scan=False)
+            except Exception as e:
+                log(f"pq4 rerank={rr} FAULTED: {e!r}")
+                break
+            pt["rerank"] = rr
+            if best4 is None or (pt["recall"], pt["qps"]) > (
+                    best4["recall"], best4["qps"]):
+                best4 = pt
+            if pt["recall"] >= TARGET:
+                best4 = pt
+                break
+        if best4 is not None:
+            best4["prep_seconds"] = round(pq4_prep_s, 1)
+            best4["code_bytes_per_node"] = args.m_pq4 // 2
+            best4["nbits"] = 4
+            pq4_point = best4
+        else:
+            pq4_point = None
 
     def run_graph(ef, expand):
         outs = []
@@ -377,7 +453,8 @@ def main():
     for key, val in (
         ("exact_engine", exact), ("fast_engine", fast),
         ("fused_engine", fused), ("fusednr_engine", fusednr),
-        ("pq_scan_engine", pq_point), ("reference_single_core", ref),
+        ("pq_scan_engine", pq_point), ("pq4_scan_engine", pq4_point),
+        ("reference_single_core", ref),
     ):
         if val is not None:
             result[key] = val
