@@ -253,10 +253,11 @@ def _time_only(args):
                     exact_rerank=False,
                 ),
             }[args.engine]
+            sb = args.scan_batch or nq
             pend = [
-                knn(g.vectors, q_dev[lo : lo + args.batch], args.k,
+                knn(g.vectors, q_dev[lo : lo + sb], args.k,
                     metric, n_valid=g.num_nodes)
-                for lo in range(0, nq, args.batch)
+                for lo in range(0, nq, sb)
             ]
             for _, ids in pend:
                 np.asarray(ids)
@@ -289,6 +290,13 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--num-queries", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--scan-batch", type=int, default=0,
+                    help="query batch per SCAN-engine dispatch (0 = the "
+                         "whole query set in one dispatch: at 100k x 128 "
+                         "the per-dispatch tunnel envelope ~30 ms dwarfs "
+                         "the ~1 ms of scan compute, so fewer dispatches "
+                         "is directly more qps; the graph engine keeps "
+                         "--batch, whose hop working set scales with B)")
     ap.add_argument("--target-recall", type=float, default=0.95)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--budget", type=float, default=900.0,
@@ -514,10 +522,11 @@ def main():
                         exact_rerank=False,
                     ),
                 }[engine]
+                sb = args.scan_batch or args.num_queries
                 pend = [
-                    knn(g.vectors, q_dev[lo : lo + args.batch], args.k,
+                    knn(g.vectors, q_dev[lo : lo + sb], args.k,
                         MetricType.L2, n_valid=g.num_nodes)
-                    for lo in range(0, args.num_queries, args.batch)
+                    for lo in range(0, args.num_queries, sb)
                 ]
                 for _, ids in pend:
                     np.asarray(ids)
@@ -567,7 +576,9 @@ def main():
                      "--ef-search", str(ef), "--expand-factor", str(expand),
                      "--compact-width", str(cw), "--m-search", str(ms),
                      "--num-init", str(ni),
-                     "--batch", str(args.batch), "--k", str(args.k),
+                     "--batch", str(args.batch),
+                     "--scan-batch", str(args.scan_batch),
+                     "--k", str(args.k),
                      "--repeats", "1"],
                     capture_output=True, text=True, timeout=sub_timeout,
                 )
@@ -603,12 +614,13 @@ def main():
     fused_recall, fused_qps = 0.0, 0.0
     fusednr_recall, fusednr_qps = 0.0, 0.0
     try:
+        sb = args.scan_batch or args.num_queries
         fused_found = np.concatenate([
             np.asarray(fused_knn(
-                g.vectors, q_dev[lo : lo + args.batch], args.k,
+                g.vectors, q_dev[lo : lo + sb], args.k,
                 MetricType.L2, rerank=32, n_valid=g.num_nodes,
             )[1])
-            for lo in range(0, args.num_queries, args.batch)
+            for lo in range(0, args.num_queries, sb)
         ])
         fused_recall = _recall(fused_found, gt)
         _log(f"fused-scan recall: {fused_recall:.4f}")
@@ -620,11 +632,11 @@ def main():
     try:
         fusednr_found = np.concatenate([
             np.asarray(fused_knn(
-                g.vectors, q_dev[lo : lo + args.batch], args.k,
+                g.vectors, q_dev[lo : lo + sb], args.k,
                 MetricType.L2, rerank=32, n_valid=g.num_nodes,
                 exact_rerank=False,
             )[1])
-            for lo in range(0, args.num_queries, args.batch)
+            for lo in range(0, args.num_queries, sb)
         ])
         fusednr_recall = _recall(fusednr_found, gt)
         _log(f"fused-norerank recall: {fusednr_recall:.4f}")
@@ -640,11 +652,11 @@ def main():
     try:
         fast_found = np.concatenate([
             np.asarray(fast_knn(
-                g.vectors, q_dev[lo : lo + args.batch], args.k,
+                g.vectors, q_dev[lo : lo + sb], args.k,
                 MetricType.L2, tile_size=262144, rerank=32,
                 n_valid=g.num_nodes,
             )[1])
-            for lo in range(0, args.num_queries, args.batch)
+            for lo in range(0, args.num_queries, sb)
         ])
         fast_recall = _recall(fast_found, gt)
         _log(f"fast-scan recall: {fast_recall:.4f}")
