@@ -42,6 +42,7 @@ def sharded_pq_scan(
     tile_size: int = 32768,
     vectors: jax.Array | None = None,  # [rows(+pad), d] for raw rerank
     queries: jax.Array | None = None,  # [B, d] for raw rerank
+    packed_4bit: bool = False,  # codes hold two 4-bit values per byte
 ):
     """PQ-ADC kNN over a row-sharded code table. Returns (dists [B, k],
     ids [B, k]) with GLOBAL row ids, sharded over the data axis.
@@ -86,6 +87,7 @@ def sharded_pq_scan(
             tile_size=tile_size, rerank=rerank, n_valid=local_valid,
             vectors=vec_local if raw else None,
             queries=q_local if raw else None,
+            packed_4bit=packed_4bit,
         )
         i_glob = i_loc + offset
         all_d = jax.lax.all_gather(d_loc, MODEL_AXIS, axis=0)  # [S, B, k]

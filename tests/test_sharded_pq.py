@@ -92,3 +92,37 @@ def test_sharded_pq_partial_prefix(mesh, pq_setup):
         k=k, metric=MetricType.L2, tile_size=512, rerank=16,
     )
     assert (np.asarray(got_i) < n_valid).all()
+
+
+def test_sharded_pq4_packed_matches_unpacked(mesh, pq_setup):
+    # 4-bit nibble-packed codes shard like 8-bit ones: under the SAME
+    # sharding (same per-shard shortlist semantics) the packed scan must
+    # be bit-identical to the unpacked one. (A single-device oracle is
+    # NOT the right comparison: each shard reranks its own local top-r,
+    # so the sharded engine reranks n_model*r candidates and can
+    # legitimately return better exact results than one global top-r.)
+    _, _, data, queries = pq_setup
+    from flatnav_tpu.quantization.pq import pack_codes_4bit
+
+    pq4 = ProductQuantizer(dim=32, num_subquantizers=8, nbits=4).train(
+        np.asarray(data)[:2000], n_iters=10
+    )
+    codes4 = pq4.encode(data)
+    packed = pack_codes_4bit(codes4)
+    tables = pq4.adc_tables(queries)
+    t_sh = jax.device_put(tables, data_sharded(mesh))
+    n = jnp.asarray(data.shape[0], jnp.int32)
+    d1, i1 = sharded_pq_scan(
+        codes4, t_sh, n, mesh, k=10,
+        metric=MetricType.L2, rerank=32, tile_size=512,
+        vectors=data, queries=queries,
+    )
+    d2, i2 = sharded_pq_scan(
+        packed, t_sh, n, mesh, k=10,
+        metric=MetricType.L2, rerank=32, tile_size=512,
+        vectors=data, queries=queries, packed_4bit=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+    )
