@@ -175,8 +175,12 @@ def main():
     ap.add_argument("--qb", type=int, default=128)
     ap.add_argument("--rerank", type=int, default=32)
     ap.add_argument("--m-pq", type=int, default=32)
-    ap.add_argument("--m-pq4", type=int, default=16,
-                    help="subquantizers for the 4-bit fast-scan point")
+    ap.add_argument("--m-pq4", type=int, default=32,
+                    help="subquantizers for the 4-bit fast-scan point "
+                         "(default 32: 16 packed bytes/node — the same "
+                         "HBM bytes as an 8-bit m=16 quantizer but 16x "
+                         "less MXU work per code, the fast-scan sweet "
+                         "spot at d=128)")
     ap.add_argument("--pq-rerank", type=int, default=64)
     ap.add_argument("--no-pq", action="store_true")
     ap.add_argument("--skip-exact", action="store_true")
@@ -295,57 +299,83 @@ def main():
         from flatnav_tpu.quantization import ProductQuantizer
         from flatnav_tpu.quantization.pq import pq_scan_knn
 
-        t0 = time.time()
         sample = np.ascontiguousarray(
             data_mm[:: max(1, n // 500_000)][:500_000]).astype(np.float32)
-        pq = ProductQuantizer(dim=D, num_subquantizers=args.m_pq).train(
-            sample, n_iters=25)
-        codes_path = f"{SCRATCH}/100m_codes_{n}_{D}_{args.m_pq}.npy"
-        if os.path.exists(codes_path) and not args.rebuild:
-            codes = np.load(codes_path, mmap_mode="r")
-        else:
-            log("encoding 100M rows (chunked, cast on device)")
-            chunks = []
-            for lo in range(0, n, 2_000_000):
-                blk = jnp.asarray(
-                    np.ascontiguousarray(data_mm[lo : lo + 2_000_000])
-                ).astype(jnp.float32)
-                chunks.append(np.asarray(pq.encode(blk)))
-            codes = np.concatenate(chunks, 0)
-            np.save(codes_path, codes)
-        prep_s = time.time() - t0
-        codes_dev = jnp.asarray(np.asarray(codes))
-        log(f"PQ ready: {codes_dev.nbytes/1e9:.1f} GB codes "
-            f"({prep_s:.0f}s prep)")
 
-        def run_pq():
-            outs = []
-            for lo in range(0, NQ, B):
-                tables = pq.adc_tables(
-                    queries[lo : lo + B].astype(np.float32))
-                _, ids = pq_scan_knn(
-                    codes_dev, tables, K, metric=MetricType.L2,
-                    tile_size=131072, rerank=args.pq_rerank,
-                    vectors=table,  # padded rows unreachable: ids < n
-                    queries=q_dev[lo : lo + B],
-                )
-                outs.append(np.asarray(ids))
-            return np.concatenate(outs, 0)
-
+        # The ENTIRE pq8 point — train, encode, the 3.2 GB device push,
+        # and the timed runs — is fault-isolated: table 12.8 GB + codes
+        # 3.2 GB sits ~100 MB under the ~15 GiB usable HBM, so an OOM
+        # here must record pq_fault and fall through to the (smaller,
+        # 0.8 GB) pq4 point rather than kill the stage on every
+        # relaunch.
+        codes_dev = None
+        run_pq = None
         try:
-            pt = time_engine(run_pq, "pq-scan engine")
-            pt["prep_seconds"] = round(prep_s, 1)
-            pt["code_bytes_per_node"] = args.m_pq
-            pt["rerank"] = args.pq_rerank
-            results["pq_scan_engine"] = pt
+            t0 = time.time()
+            pq = ProductQuantizer(
+                dim=D, num_subquantizers=args.m_pq).train(
+                sample, n_iters=25)
+            codes_path = f"{SCRATCH}/100m_codes_{n}_{D}_{args.m_pq}.npy"
+            if os.path.exists(codes_path) and not args.rebuild:
+                codes = np.load(codes_path, mmap_mode="r")
+            else:
+                log("encoding 100M rows (chunked, cast on device)")
+                chunks = []
+                for lo in range(0, n, 2_000_000):
+                    blk = jnp.asarray(
+                        np.ascontiguousarray(data_mm[lo : lo + 2_000_000])
+                    ).astype(jnp.float32)
+                    chunks.append(np.asarray(pq.encode(blk)))
+                codes = np.concatenate(chunks, 0)
+                np.save(codes_path, codes)
+            prep_s = time.time() - t0
+            codes_dev = jnp.asarray(np.asarray(codes))
+            log(f"PQ ready: {codes_dev.nbytes/1e9:.1f} GB codes "
+                f"({prep_s:.0f}s prep)")
+
+            def run_pq(rr):
+                def go():
+                    outs = []
+                    for lo in range(0, NQ, B):
+                        tables = pq.adc_tables(
+                            queries[lo : lo + B].astype(np.float32))
+                        _, ids = pq_scan_knn(
+                            codes_dev, tables, K, metric=MetricType.L2,
+                            tile_size=131072, rerank=rr,
+                            # padded rows unreachable: ids < n
+                            vectors=table,
+                            queries=q_dev[lo : lo + B],
+                        )
+                        outs.append(np.asarray(ids))
+                    return np.concatenate(outs, 0)
+                return go
+
+            # recall is shortlist-bounded (raw rerank): sweep the width
+            # until the 0.95 target lands — the ADC scan dominates the
+            # dispatch, so wider rerank costs little qps
+            best8 = None
+            for rr in (args.pq_rerank, 128, 256, 512):
+                pt = time_engine(run_pq(rr), f"pq-scan rerank={rr}")
+                pt["rerank"] = rr
+                if best8 is None or (pt["recall"], pt["qps"]) > (
+                        best8["recall"], best8["qps"]):
+                    best8 = pt
+                if pt["recall"] >= 0.95:
+                    best8 = pt
+                    break
+            best8["prep_seconds"] = round(prep_s, 1)
+            best8["code_bytes_per_node"] = args.m_pq
+            results["pq_scan_engine"] = best8
         except Exception as e:
             log(f"pq engine FAULTED: {e!r}")
             results["pq_fault"] = repr(e)
+        finally:
+            # free the 8-bit codes before the pq4 push: table 12.8 +
+            # codes8 3.2 + packed4 0.8 GB would exceed usable HBM
+            # (run_pq's closure cell holds the last reference)
+            codes_dev = None
+            run_pq = None
         flush()
-        # free the 8-bit codes (3.2 GB at m_pq=32) before the pq4 push:
-        # table 12.8 + codes8 3.2 + packed4 0.8 GB would exceed the
-        # ~15 GiB usable HBM (the closure holds the last reference)
-        del run_pq, codes_dev
 
         # 4-bit fast-scan point: at nc=16 the one-hot contraction does
         # 16x less MXU work per code than nbits=8 (the scan is
@@ -394,7 +424,7 @@ def main():
                 return go
 
             best4 = None
-            for rr in (args.pq_rerank, 128, 256):
+            for rr in (args.pq_rerank, 128, 256, 512, 1024):
                 pt4 = time_engine(run_pq4(rr), f"pq4-scan rerank={rr}")
                 pt4["rerank"] = rr
                 if best4 is None or (pt4["recall"], pt4["qps"]) > (

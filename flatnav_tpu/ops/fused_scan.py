@@ -84,6 +84,13 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     # fast_knn's uint8 phase-1, benchmarks/run_bigann_10m.py docstring).
     rows = rows_ref[:]
     if rows.dtype != jnp.bfloat16:
+        # Mosaic's cast lowering has no unsigned->float rule (jax 0.9.0
+        # pallas/mosaic/lowering.py:_convert_helper raises on u8->bf16,
+        # first hit on the real chip at 10M uint8 — CPU interpret mode
+        # accepts any cast and hides this); hop through int32, which is
+        # lossless for 8-bit values and lowers as sitofp.
+        if jnp.issubdtype(rows.dtype, jnp.unsignedinteger):
+            rows = rows.astype(jnp.int32)
         rows = rows.astype(jnp.bfloat16)
     dots = jax.lax.dot_general(
         q_ref[:],
