@@ -172,7 +172,11 @@ def main():
                          "the 12.8 GB table — keep B modest)")
     ap.add_argument("--bucket-l", type=int, default=128)
     ap.add_argument("--tile", type=int, default=16384)
-    ap.add_argument("--qb", type=int, default=128)
+    ap.add_argument("--qb", type=int, default=64,
+                    help="kernel query block: [qb, tile] f32 keys + the "
+                         "double-buffered [tile, d] row blocks must fit "
+                         "the ~16 MB VMEM core budget (qb=128 at "
+                         "tile=16384 is ~16 MB — marginal)")
     ap.add_argument("--rerank", type=int, default=32)
     ap.add_argument("--m-pq", type=int, default=32)
     ap.add_argument("--m-pq4", type=int, default=32,

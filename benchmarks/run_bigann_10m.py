@@ -184,14 +184,22 @@ def main():
         ])
 
     def run_fused(exact_rerank):
+        # The kernel's [B, N/L] f32+i32 bucket summaries are the HBM
+        # cost at this N: the default L=16 at B=4096 compiles to 19 GB
+        # of summaries (measured compile-time OOM, round 4). L=64 +
+        # B=1024 keeps them at 1.25 GB beside the 1.28 GB table;
+        # t=8192/qb=128 keeps the kernel's VMEM block set (~9 MB of
+        # rows + [qb, t] keys) inside the ~16 MB core budget.
+        fb = 1024
         def go():
             return np.concatenate([
                 np.asarray(fused_knn(
-                    g.vectors, q_dev[lo : lo + BATCH], K, MetricType.L2,
+                    g.vectors, q_dev[lo : lo + fb], K, MetricType.L2,
                     rerank=32, n_valid=g.num_nodes,
+                    bucket_l=64, tile_size=8192, query_block=128,
                     exact_rerank=exact_rerank,
                 )[1])
-                for lo in range(0, NQ, BATCH)
+                for lo in range(0, NQ, fb)
             ])
         return go
 

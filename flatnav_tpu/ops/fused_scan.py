@@ -61,6 +61,27 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+#: bound on the phase-1 [B, N/L] f32+i32 bucket-summary footprint when
+#: bucket_l is auto-picked. 4 GiB keeps every measured config's compiled
+#: shape (100k/1M at B<=8192 sit at <= 3.8 GiB) while stopping the
+#: pathological ones: N=10M at B=4096 with the flat default L=16 compiles
+#: 19 GiB of summaries — a compile-time HBM OOM (measured, round 4).
+_SUMMARY_BYTES = 4 << 30
+
+
+def _pick_bucket_l(n: int, b: int) -> int:
+    """Auto bucket width: start at _L, shrink for tiny tables (keep the
+    kernel meaningful), then GROW until the [B, N/L] f32+i32 summaries
+    fit _SUMMARY_BYTES — never dropping below ~4096 buckets."""
+    L = _L
+    while L > 1 and n // L < 4096:
+        L //= 2
+    b_eff = _round_up(max(b, 1), 8)
+    while 8 * b_eff * (n // L) > _SUMMARY_BYTES and n // (2 * L) >= 4096:
+        L *= 2
+    return L
+
+
 def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     """One (query-block, row-tile) grid step.
 
@@ -177,15 +198,18 @@ def fused_knn(
     # degrade L toward 1 (the kernel then emits full keys — correct,
     # just with less traffic saved, which tiny tables don't need anyway)
     if bucket_l is None:
-        L = _L
-        while L > 1 and n // L < 4096:
-            L //= 2
+        L = _pick_bucket_l(n, b)
     else:
         L = bucket_l
     t = max(128 * L, min(tile_size, _round_up(n, 128 * L)))
     if t % (128 * L):
         raise ValueError(f"tile_size {t} must be a multiple of 128*L")
     qb = min(query_block, _round_up(b, 8))
+    # large L forces t >= 128*L past the requested tile_size; shrink the
+    # query block with it so the kernel's [qb, t] f32 key block stays
+    # <= 4 MiB beside the double-buffered row tiles (~16 MB VMEM/core)
+    if t > tile_size:
+        qb = min(qb, max(8, (1 << 20) // t))
     n_pad = _round_up(n, t)
     b_pad = _round_up(b, qb)
     d_pad = _round_up(d, 128)

@@ -226,3 +226,30 @@ def test_fused_uint8_native_path(rng):
     np.testing.assert_allclose(
         np.asarray(fnd)[agree], np.asarray(ed)[agree], rtol=0, atol=0
     )
+
+
+def test_auto_bucket_l_bounds_summary_footprint():
+    """The auto-picked L must keep the [B, N/L] f32+i32 phase-1 summaries
+    under the module bound — at N=10M, B=4096 the flat default (L=16)
+    compiled 19 GiB of summaries, a compile-time HBM OOM on the real
+    chip (round 4)."""
+    from flatnav_tpu.ops.fused_scan import _L, _SUMMARY_BYTES, _pick_bucket_l
+
+    for n, b in [(10_000_000, 4096), (100_000_000, 8192),
+                 (1_000_000, 8192), (100_000, 8192), (100_000, 1),
+                 (2048, 64)]:
+        L = _pick_bucket_l(n, b)
+        n_buckets = n // L
+        b_eff = -(-b // 8) * 8
+        summary_bytes = 8 * b_eff * n_buckets  # f32 min + i32 id per bucket
+        # either the footprint fits, or L already stopped at the
+        # 4096-bucket floor (growing further would gut phase-1 quality)
+        assert summary_bytes <= _SUMMARY_BYTES or n // (2 * L) < 4096, \
+            (n, b, L, summary_bytes)
+        if n >= 4096 * _L:
+            assert n_buckets >= 4096, (n, b, L)
+    # measured configs keep their compiled shapes (committed caches)
+    assert _pick_bucket_l(100_000, 8192) == 16
+    assert _pick_bucket_l(1_000_000, 8192) == 16
+    # the OOM shape now picks a bounded L
+    assert _pick_bucket_l(10_000_000, 4096) == 128
