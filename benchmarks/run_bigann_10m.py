@@ -240,30 +240,45 @@ def main():
             f"{data.nbytes/1e9:.2f} GB raw)")
         codes_dev = jnp.asarray(codes)
 
-        def run_pq():
+        def run_pq(rr):
             # raw-vector rerank: at 10M the raw uint8 table (2.6 GB)
             # still fits HBM — the SCAN reads 16-byte codes (8x fewer
             # bytes than raw) and only the [B, rerank] shortlist touches
             # raw rows, so recall is shortlist-bounded instead of
             # PQ-bounded
-            outs = []
-            for lo in range(0, NQ, BATCH):
-                tables = pq.adc_tables(
-                    queries[lo : lo + BATCH].astype(np.float32)
-                )
-                _, ids = pq_scan_knn(
-                    codes_dev, tables, K, metric=MetricType.L2,
-                    tile_size=131072, rerank=args.pq_rerank,
-                    vectors=g.vectors, queries=q_dev[lo : lo + BATCH],
-                )
-                outs.append(np.asarray(ids))
-            return np.concatenate(outs, 0)
+            def go():
+                outs = []
+                for lo in range(0, NQ, BATCH):
+                    tables = pq.adc_tables(
+                        queries[lo : lo + BATCH].astype(np.float32)
+                    )
+                    _, ids = pq_scan_knn(
+                        codes_dev, tables, K, metric=MetricType.L2,
+                        tile_size=131072, rerank=rr,
+                        vectors=g.vectors, queries=q_dev[lo : lo + BATCH],
+                    )
+                    outs.append(np.asarray(ids))
+                return np.concatenate(outs, 0)
+            return go
 
         try:
-            pq_point = time_engine(run_pq, "pq-scan engine", scan=False)
-            pq_point["prep_seconds"] = round(pq_prep_s, 1)
-            pq_point["code_bytes_per_node"] = args.m_pq
-            pq_point["rerank"] = args.pq_rerank
+            # recall is shortlist-bounded (raw rerank restores exact
+            # distances): sweep the width toward the 0.95 target — the
+            # ADC scan dominates the dispatch so wider rerank is cheap
+            best8 = None
+            for rr in (args.pq_rerank, 128, 256, 512):
+                pt = time_engine(run_pq(rr), f"pq-scan rerank={rr}",
+                                 scan=False)
+                pt["rerank"] = rr
+                if best8 is None or (pt["recall"], pt["qps"]) > (
+                        best8["recall"], best8["qps"]):
+                    best8 = pt
+                if pt["recall"] >= TARGET:
+                    best8 = pt
+                    break
+            best8["prep_seconds"] = round(pq_prep_s, 1)
+            best8["code_bytes_per_node"] = args.m_pq
+            pq_point = best8
         except Exception as e:
             log(f"pq engine FAULTED: {e!r}")
 
@@ -315,7 +330,7 @@ def main():
 
         best4 = None
         for rr in (() if packed4_dev is None
-                   else (args.pq_rerank, 128, 256)):
+                   else (args.pq_rerank, 128, 256, 512, 1024)):
             try:
                 pt = time_engine(run_pq4(rr), f"pq4-scan rerank={rr}",
                                  scan=False)
