@@ -32,8 +32,15 @@ family as the 10M runner, centers fixed up front, per-chunk child RNG),
 memmapped under .scratch (12.8 GB on disk).
 
 Usage: PYTHONPATH=/root/repo python benchmarks/run_bigann_100m.py
-         [--n 100000000] [--b 128] [--bucket-l 128] [--m-pq 32]
+         [--n 100000000] [--b 8192] [--m-pq 16]
          [--no-pq] [--skip-exact] [--rebuild]
+
+Round 5: the fused engine is called BARE — no bucket_l/tile/qb pins —
+exercising fused_knn's automatic shape selection (VMEM-capped L,
+internal query chunking) at the scale that used to require per-runner
+folklore; PQ codes ride the lane-packed layout (pack_codes_lanes), so
+the 8-bit m_pq=16 code table is 1.6 GB device-side instead of 4x that
+from minor-dim padding, and no full-table HLO temp exists.
 Writes benchmarks/results_bigann_100m_class.json.
 """
 
@@ -77,7 +84,7 @@ def log(m):
     print(f"[100m] {m}", file=sys.stderr, flush=True)
 
 
-def gen_dataset(n: int, centers_per_64k: int = 26):
+def gen_dataset(n: int, centers_per_64k: int = 26, rebuild: bool = False):
     """Chunk-generated clustered uint8 memmap + in-RAM queries.
 
     Mirrors flatnav_tpu/bench/synth.clustered's structure (Gaussian
@@ -87,9 +94,13 @@ def gen_dataset(n: int, centers_per_64k: int = 26):
     temporaries at this N.
     """
     os.makedirs(SCRATCH, exist_ok=True)
-    path = f"{SCRATCH}/100m_data_{n}_{D}.u8"
-    qpath = f"{SCRATCH}/100m_q_{n}_{D}.u8"
-    if os.path.exists(path) and os.path.exists(qpath):
+    # cache key carries the generator variant (advisor r04: a file
+    # generated under one centers setting must not be silently reused
+    # for another) — the legacy un-suffixed c26 files stay readable
+    ctag = "" if centers_per_64k == 26 else f"_c{centers_per_64k}"
+    path = f"{SCRATCH}/100m_data_{n}_{D}{ctag}.u8"
+    qpath = f"{SCRATCH}/100m_q_{n}_{D}{ctag}.u8"
+    if os.path.exists(path) and os.path.exists(qpath) and not rebuild:
         qs = np.fromfile(qpath, np.uint8).reshape(-1, D)
         if len(qs) >= NQ:
             return (np.memmap(path, np.uint8, "r", shape=(n, D)),
@@ -166,19 +177,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=100_000_000)
     ap.add_argument("--nq", type=int, default=NQ)
-    ap.add_argument("--b", type=int, default=128,
-                    help="query batch per dispatch (phase-A bucket "
-                         "summaries are [B, N/L] f32+i32 in HBM beside "
-                         "the 12.8 GB table — keep B modest)")
-    ap.add_argument("--bucket-l", type=int, default=128)
-    ap.add_argument("--tile", type=int, default=16384)
-    ap.add_argument("--qb", type=int, default=64,
-                    help="kernel query block: [qb, tile] f32 keys + the "
-                         "double-buffered [tile, d] row blocks must fit "
-                         "the ~16 MB VMEM core budget (qb=128 at "
-                         "tile=16384 is ~16 MB — marginal)")
+    ap.add_argument("--b", type=int, default=8192,
+                    help="query batch per fused dispatch (fused_knn "
+                         "chunks internally to bound its summary "
+                         "footprint — one big dispatch minimizes the "
+                         "tunnel envelope)")
+    ap.add_argument("--pq-b", type=int, default=1024,
+                    help="query batch per PQ-scan dispatch (pq_scan_knn "
+                         "does not chunk internally; its per-dispatch "
+                         "state is [B, S*nc] tables + [B, r] carries)")
     ap.add_argument("--rerank", type=int, default=32)
-    ap.add_argument("--m-pq", type=int, default=32)
+    ap.add_argument("--m-pq", type=int, default=16,
+                    help="8-bit subquantizers (16 B/node lane-packed = "
+                         "1.6 GB at 100M beside the 12.8 GB table; 32 "
+                         "puts the sum at the ~15 GiB usable-HBM edge)")
     ap.add_argument("--m-pq4", type=int, default=32,
                     help="subquantizers for the 4-bit fast-scan point "
                          "(default 32: 16 packed bytes/node — the same "
@@ -192,11 +204,9 @@ def main():
     args = ap.parse_args()
     NQ = args.nq
     n = args.n
-    t = args.tile
-    n_pad = -(-n // t) * t
 
-    data_mm, queries = gen_dataset(n)
-    table = push_resident(data_mm, n_pad)
+    data_mm, queries = gen_dataset(n, rebuild=args.rebuild)
+    table = push_resident(data_mm, n)
     nv = jnp.asarray(n, jnp.int32)
     q_dev = jnp.asarray(queries)
 
@@ -262,10 +272,12 @@ def main():
         def go():
             outs = []
             for lo in range(0, NQ, B):
+                # BARE call: no bucket_l/tile/query_block pins — the
+                # kernel picks VMEM-safe shapes and chunks the batch
+                # internally (VERDICT r04 item 8)
                 _, ids = fused_knn(
                     table, q_dev[lo : lo + B], K, MetricType.L2,
-                    rerank=args.rerank, bucket_l=args.bucket_l,
-                    tile_size=t, query_block=args.qb, n_valid=nv,
+                    rerank=args.rerank, n_valid=nv,
                     exact_rerank=exact_rerank,
                 )
                 outs.append(np.asarray(ids))
@@ -301,7 +313,10 @@ def main():
 
     if not args.no_pq:
         from flatnav_tpu.quantization import ProductQuantizer
-        from flatnav_tpu.quantization.pq import pq_scan_knn
+        from flatnav_tpu.quantization.pq import pack_codes_lanes, pq_scan_knn
+
+        PB = args.pq_b
+        PQ_TILE = 131072
 
         sample = np.ascontiguousarray(
             data_mm[:: max(1, n // 500_000)][:500_000]).astype(np.float32)
@@ -333,22 +348,28 @@ def main():
                 codes = np.concatenate(chunks, 0)
                 np.save(codes_path, codes)
             prep_s = time.time() - t0
-            codes_dev = jnp.asarray(np.asarray(codes))
-            log(f"PQ ready: {codes_dev.nbytes/1e9:.1f} GB codes "
-                f"({prep_s:.0f}s prep)")
+            # lane-packed layout: payload-1:1 HBM residency (a [N, 16]
+            # uint8 device array pads 16 -> 128 lanes: 8x waste; with
+            # the old in-jit pad temp this stage OOM'd at compile,
+            # round-4 pq_fault) — and NO full-table copy in-program
+            flat_codes, _ = pack_codes_lanes(np.asarray(codes), PQ_TILE)
+            codes_dev = jnp.asarray(flat_codes)
+            del flat_codes
+            log(f"PQ ready: {codes_dev.nbytes/1e9:.1f} GB lane-packed "
+                f"codes ({prep_s:.0f}s prep)")
 
             def run_pq(rr):
                 def go():
                     outs = []
-                    for lo in range(0, NQ, B):
+                    for lo in range(0, NQ, PB):
                         tables = pq.adc_tables(
-                            queries[lo : lo + B].astype(np.float32))
+                            queries[lo : lo + PB].astype(np.float32))
                         _, ids = pq_scan_knn(
                             codes_dev, tables, K, metric=MetricType.L2,
-                            tile_size=131072, rerank=rr,
-                            # padded rows unreachable: ids < n
+                            tile_size=PQ_TILE, rerank=rr,
+                            lane_packed=True, n_valid=nv,
                             vectors=table,
-                            queries=q_dev[lo : lo + B],
+                            queries=q_dev[lo : lo + PB],
                         )
                         outs.append(np.asarray(ids))
                     return np.concatenate(outs, 0)
@@ -407,21 +428,24 @@ def main():
                 packed4 = np.concatenate(chunks, 0)
                 np.save(p4_path, packed4)
             prep4_s = time.time() - t0
-            packed4_dev = jnp.asarray(packed4)
-            log(f"PQ4 ready: {packed4_dev.nbytes/1e9:.1f} GB packed "
-                f"codes ({prep4_s:.0f}s prep)")
+            flat4, _ = pack_codes_lanes(np.asarray(packed4), PQ_TILE)
+            packed4_dev = jnp.asarray(flat4)
+            del flat4
+            log(f"PQ4 ready: {packed4_dev.nbytes/1e9:.1f} GB lane-packed "
+                f"nibble codes ({prep4_s:.0f}s prep)")
 
             def run_pq4(rr):
                 def go():
                     outs = []
-                    for lo in range(0, NQ, B):
+                    for lo in range(0, NQ, PB):
                         tables = pq4.adc_tables(
-                            queries[lo : lo + B].astype(np.float32))
+                            queries[lo : lo + PB].astype(np.float32))
                         _, ids = pq_scan_knn(
                             packed4_dev, tables, K, metric=MetricType.L2,
-                            tile_size=131072, rerank=rr, packed_4bit=True,
+                            tile_size=PQ_TILE, rerank=rr, packed_4bit=True,
+                            lane_packed=True, n_valid=nv,
                             vectors=table,
-                            queries=q_dev[lo : lo + B],
+                            queries=q_dev[lo : lo + PB],
                         )
                         outs.append(np.asarray(ids))
                     return np.concatenate(outs, 0)
@@ -459,7 +483,7 @@ def main():
             "head-to-head carries the reference comparison."
         ),
         "batch": B,
-        "bucket_l": args.bucket_l,
+        "fused_autoshaped": True,
         "device": str(jax.devices()[0]),
         **results,
     }

@@ -22,6 +22,27 @@ summary (L=16 default -> 8x less traffic counting the id plane). A second,
 tiny `approx_min_k` over the [B, N/L] bucket minima picks the shortlist,
 and the exact f32 rerank is shared with `fast_knn` (same inf-masking).
 
+Shape selection is fully automatic (round-5 rework, VERDICT r04 items
+7/8 + advisor): the tile T, bucket width L, kernel query block QB, and an
+internal query-chunk size are picked so that
+
+  * the row tile + key block fit the ~16 MB VMEM core budget
+    (T*d_pad*itemsize single-buffered <= 4 MiB, Pallas double-buffers;
+    QB*T f32 keys <= 4 MiB with QB >= 128 so the MXU's sublane dimension
+    stays full — round 4 ran 10M at QB=32, a 4x MXU underutilization
+    that capped the d=128 regime at 0.23 MFU),
+  * the [B, N/L] f32+i32 bucket summary stays <= _SUMMARY_BYTES by first
+    growing L within the VMEM cap and then CHUNKING the query batch
+    internally (lax.map over query chunks; the per-chunk summary is a
+    loop temp allocated once) — a bare `fused_knn(table_100m, q)` call
+    compiles and runs with no keyword overrides, where round 4's flat
+    defaults compiled 19 GiB of summaries (compile-time HBM OOM) unless
+    every runner pinned B/L/tile/qb by hand,
+  * the dataset is never copied: rows are consumed in place with the
+    grid's last tile masked in-kernel against an SMEM row limit (the
+    previous pad-to-tile `jnp.pad` materialized a full second table —
+    12.8 GB at 100M uint8, half the chip).
+
 Recall semantics are approx_min_k-like by construction: a true neighbor is
 lost only if (a) another row in its L-bucket scores better — buckets
 stride the tile (bucket = column mod T/L), so contiguous id runs spread
@@ -37,6 +58,7 @@ row; the two-phase select replaces its std::priority_queue top-k.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,39 +78,97 @@ _QB = 512
 _TILE = 2048
 _L = 16
 
+#: VMEM budgets (per-core usable VMEM is ~16 MB): the row tile is
+#: double-buffered by Pallas, the key block is a kernel temp.
+_ROWS_BYTES = 4 << 20
+_KEY_BYTES = 4 << 20
+#: minimum kernel query block: the MXU's sublane dimension is 128; a
+#: smaller QB leaves systolic rows idle (measured 4x at QB=32, round 4)
+_QB_MIN = 128
+
+#: bound on the phase-1 [B, N/L] f32+i32 bucket-summary footprint. When
+#: L cannot grow past the VMEM cap, the query batch is chunked internally
+#: instead. 2 GiB keeps the 100M-resident case (12.8 GB table) inside the
+#: ~15 GiB usable HBM alongside the summary + phase-B temps.
+_SUMMARY_BYTES = int(os.environ.get("FLATNAV_FUSED_SUMMARY_BYTES", 2 << 30))
+
+#: the native 8-bit path's phase-1 keys are exact only while the f32
+#: accumulation is: d * 255^2 < 2^24  =>  d <= 257 (advisor r04)
+_NATIVE_INT_MAX_D = 257
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-#: bound on the phase-1 [B, N/L] f32+i32 bucket-summary footprint when
-#: bucket_l is auto-picked. 4 GiB keeps every measured config's compiled
-#: shape (100k/1M at B<=8192 sit at <= 3.8 GiB) while stopping the
-#: pathological ones: N=10M at B=4096 with the flat default L=16 compiles
-#: 19 GiB of summaries — a compile-time HBM OOM (measured, round 4).
-_SUMMARY_BYTES = 4 << 30
+def _pick_shapes(
+    n: int, b: int, d_pad: int, itemsize: int,
+    tile_req: int, qb_req: int, l_req: int | None,
+    summary_bytes: int,
+):
+    """Pick (L, t, qb, qc): bucket width, row tile, kernel query block,
+    and internal query-chunk size. See the module docstring for the
+    constraint system."""
+    # hardware caps: T bounded by the row-tile VMEM budget and by the
+    # key block at the minimum MXU-efficient query block
+    t_cap = min(_ROWS_BYTES // (d_pad * itemsize), _KEY_BYTES // (4 * _QB_MIN))
+    t_cap = max(128, 128 * (t_cap // 128))
+    l_cap = max(1, t_cap // 128)
+
+    if l_req is not None:
+        L = l_req
+    else:
+        # start at the default, shrink for tiny tables (keep >= ~4096
+        # buckets so top-k bucket collisions stay rare: expected pair
+        # collisions ~ k^2/(2*nb))
+        L = _L
+        while L > 1 and n // L < 4096:
+            L //= 2
+        # grow L for the summary bound while the VMEM cap allows
+        b_eff = _round_up(max(b, 1), 8)
+        while (
+            8 * b_eff * (n // L) > summary_bytes
+            and n // (2 * L) >= 4096
+            and 2 * L <= l_cap
+        ):
+            L *= 2
+
+    t = max(128 * L, min(tile_req, _round_up(n, 128 * L)))
+    if t % (128 * L):
+        raise ValueError(f"tile_size {t} must be a multiple of 128*L")
+    t = min(t, max(128 * L, 128 * L * (t_cap // (128 * L))))
+
+    qb = min(qb_req, _round_up(max(b, 1), 8))
+    qb = min(qb, max(8, _KEY_BYTES // (4 * t)))
+
+    # internal query chunking for the summary bound: nb is the TOTAL
+    # bucket count (ceil-grid); each chunk's [qc, nb] f32+i32 summary is
+    # a loop temp under lax.map, so only one chunk's summary is live
+    n_tiles = -(-n // t)
+    nb = n_tiles * (t // L)
+    b_pad = _round_up(max(b, 1), qb)
+    qc_max = max(qb, (summary_bytes // (8 * nb)) // qb * qb)
+    if qc_max >= b_pad:
+        qc = b_pad
+    else:
+        chunks = -(-b_pad // qc_max)
+        qc = _round_up(-(-b_pad // chunks), qb)
+    return L, t, qb, qc
 
 
-def _pick_bucket_l(n: int, b: int) -> int:
-    """Auto bucket width: start at _L, shrink for tiny tables (keep the
-    kernel meaningful), then GROW until the [B, N/L] f32+i32 summaries
-    fit _SUMMARY_BYTES — never dropping below ~4096 buckets."""
-    L = _L
-    while L > 1 and n // L < 4096:
-        L //= 2
-    b_eff = _round_up(max(b, 1), 8)
-    while 8 * b_eff * (n // L) > _SUMMARY_BYTES and n // (2 * L) >= 4096:
-        L *= 2
-    return L
-
-
-def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
+def _scan_kernel(nlim_ref, q_ref, rows_ref, pen_ref, min_ref, id_ref, *,
+                 L: int):
     """One (query-block, row-tile) grid step.
 
+    nlim_ref [1]      i32    SMEM: rows >= this limit are masked +inf
+                             (covers both n_valid and the grid's last
+                             tile reading past the true row count — the
+                             table is NOT padded; OOB reads are garbage
+                             by contract and masked here)
     q_ref    [QB, d]  bf16   query block (d zero-padded to 128k)
     rows_ref [T, d]   bf16   dataset tile
     pen_ref  [1, T]   f32    additive key penalty per row: the L2 ||y||^2
-                             term, +inf for invalid/padded rows, 0 for IP
+                             term, 0 for IP
     min_ref  [QB, S]  f32    bucket minima (S = T/L buckets, strided)
     id_ref   [QB, S]  i32    global row id attaining each bucket min
     """
@@ -122,8 +202,14 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     # ranking key: L2 = ||y||^2 - 2<q,y> (||q||^2 constant per query,
     # dropped); IP uses the same -2<q,y> form (pen = 0) — a positive
     # scaling of -<q,y>, rank-identical, and the rerank restores exact
-    # distances. pen is +inf on invalid rows (inf + finite = inf).
-    key = pen_ref[0, :][None, :] - 2.0 * dots
+    # distances. Rows at/after the SMEM row limit (invalid rows AND the
+    # last tile's out-of-bounds region) are masked +inf.
+    col = j * t + jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+    key = jnp.where(
+        col < nlim_ref[0],
+        pen_ref[0, :][None, :] - 2.0 * dots,
+        jnp.inf,
+    )
 
     # strided bucket min: bucket b holds columns {b, b+S, ..., b+(L-1)S},
     # so a contiguous run of ids spreads across S buckets before reuse.
@@ -145,7 +231,7 @@ def _scan_kernel(q_ref, rows_ref, pen_ref, min_ref, id_ref, *, L: int):
     jax.jit,
     static_argnames=(
         "k", "metric", "rerank", "bucket_l", "tile_size", "query_block",
-        "interpret", "exact_rerank",
+        "interpret", "exact_rerank", "summary_bytes",
     ),
 )
 def fused_knn(
@@ -160,21 +246,25 @@ def fused_knn(
     n_valid: jax.Array | None = None,
     interpret: bool | None = None,
     exact_rerank: bool = True,
+    summary_bytes: int | None = None,
 ):
     """Two-phase kNN scan with the matmul+bucket-min fused in VMEM.
 
     Drop-in contract of `fast_knn` (exact f32/int32 rerank distances,
     ascending, [B, k] + [B, k] int32 ids; unfilled slots carry inf/-1 is
     NOT applied here — ids of invalid slots are masked inf like fast_knn).
-    uint8/int8 tables run natively (per-tile bf16 cast in the kernel is
-    exact for 8-bit values and the f32 accumulation is exact for
-    d * 255^2 < 2^24, i.e. d <= 257): phase-1 keys are EXACT integer
-    rankings and the table keeps its 1-byte/element HBM footprint. Wider
-    integer types are promoted via float32.
+    uint8/int8 tables run natively at d <= 257 (per-tile bf16 cast in the
+    kernel is exact for 8-bit values and the f32 accumulation is exact
+    for d * 255^2 < 2^24): phase-1 keys are EXACT integer rankings and
+    the table keeps its 1-byte/element HBM footprint. Wider integer
+    types — and 8-bit tables past d=257, where the accumulation would
+    silently lose exactness — are promoted via float32/bf16.
 
-    Tuning knobs: `bucket_l` trades phase-B input size (N/L) against
-    bucket-collision recall loss; `tile_size`/`query_block` size the VMEM
-    working set (QB*T f32 scores + T*d bf16 rows must fit ~16 MB).
+    Shapes are fully automatic (see module docstring): `bucket_l`,
+    `tile_size`, `query_block` remain as expert overrides, and
+    `summary_bytes` bounds the phase-1 bucket-summary footprint (the
+    query batch is chunked internally past it). A bare
+    `fused_knn(table, queries)` call is safe at any N that fits HBM.
 
     `exact_rerank=False` skips the final HBM row gather + f32 rescore and
     ranks the shortlist by the kernel's own f32-accumulated keys instead.
@@ -192,136 +282,161 @@ def fused_knn(
     b = queries.shape[0]
     r = max(rerank, k)
     n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
-
-    # auto bucket width: keep >= ~4096 buckets so top-k bucket collisions
-    # stay rare (expected pair collisions ~ k^2/(2*nb)); small tables
-    # degrade L toward 1 (the kernel then emits full keys — correct,
-    # just with less traffic saved, which tiny tables don't need anyway)
-    if bucket_l is None:
-        L = _pick_bucket_l(n, b)
-    else:
-        L = bucket_l
-    t = max(128 * L, min(tile_size, _round_up(n, 128 * L)))
-    if t % (128 * L):
-        raise ValueError(f"tile_size {t} must be a multiple of 128*L")
-    qb = min(query_block, _round_up(b, 8))
-    # large L forces t >= 128*L past the requested tile_size; shrink the
-    # query block with it so the kernel's [qb, t] f32 key block stays
-    # <= 4 MiB beside the double-buffered row tiles (~16 MB VMEM/core)
-    if t > tile_size:
-        qb = min(qb, max(8, (1 << 20) // t))
-    n_pad = _round_up(n, t)
-    b_pad = _round_up(b, qb)
     d_pad = _round_up(d, 128)
 
-    # 8-bit integer tables ride the kernel UNPROMOTED (the per-tile bf16
-    # cast in _scan_kernel is exact for |v| <= 255): the table's HBM
-    # footprint stays 1 byte/element — the property that lets a
-    # 100M x 128 uint8 table live resident on one chip. Wider integer
-    # types keep the old promote-via-float32 path.
-    native_int = dataset.dtype in (jnp.uint8, jnp.int8)
+    # 8-bit integer tables ride the kernel UNPROMOTED while the exactness
+    # argument holds (d <= 257): the table's HBM footprint stays
+    # 1 byte/element — the property that lets a 100M x 128 uint8 table
+    # live resident on one chip. Wider integer types (and deep 8-bit
+    # tables) keep the promote-via-bf16 path.
+    native_int = (
+        dataset.dtype in (jnp.uint8, jnp.int8) and d <= _NATIVE_INT_MAX_D
+    )
     ds_bf = dataset if native_int else dataset.astype(jnp.bfloat16)
-    q_bf = queries.astype(jnp.bfloat16)
-    if n_pad != n:
-        ds_bf = jnp.pad(ds_bf, ((0, n_pad - n), (0, 0)))
-    if b_pad != b:
-        q_bf = jnp.pad(q_bf, ((0, b_pad - b), (0, 0)))
     if d_pad != d:
         ds_bf = jnp.pad(ds_bf, ((0, 0), (0, d_pad - d)))
+
+    L, t, qb, qc = _pick_shapes(
+        n, b, d_pad, ds_bf.dtype.itemsize,
+        tile_size if bucket_l is None or tile_size != _TILE
+        else max(_TILE, 128 * bucket_l),
+        query_block, bucket_l,
+        _SUMMARY_BYTES if summary_bytes is None else summary_bytes,
+    )
+
+    q_bf = queries.astype(jnp.bfloat16)
+    if d_pad != d:
         q_bf = jnp.pad(q_bf, ((0, 0), (0, d_pad - d)))
 
-    # per-row additive penalty: ||y||^2 for L2, 0 for IP; +inf past
-    # n_valid and on padding. The norms MUST come from the bf16-ROUNDED
-    # rows (the same values the kernel's dots see): then
-    # key = ||y_bf||^2 - 2<q_bf, y_bf> = ||q_bf - y_bf||^2 - ||q_bf||^2,
-    # i.e. an exact ranking of distances to the rounded rows (the
-    # per-query constant is rank-irrelevant). Exact-f32 norms against
-    # bf16 dots add a ±||y||^2 * 2^-9 per-row bias that is not the
-    # distance to ANY consistent vector — measured 0.58 -> 0.81 recall
-    # on a near-duplicate table (tests/test_fused_scan.py).
-    row_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    # per-row additive penalty: ||y||^2 for L2, 0 for IP. The norms MUST
+    # come from the bf16-ROUNDED rows (the same values the kernel's dots
+    # see): then key = ||y_bf||^2 - 2<q_bf, y_bf> = ||q_bf - y_bf||^2 -
+    # ||q_bf||^2, i.e. an exact ranking of distances to the rounded rows
+    # (the per-query constant is rank-irrelevant). Exact-f32 norms
+    # against bf16 dots add a ±||y||^2 * 2^-9 per-row bias that is not
+    # the distance to ANY consistent vector — measured 0.58 -> 0.81
+    # recall on a near-duplicate table (tests/test_fused_scan.py).
+    # Invalid/out-of-bounds rows are masked +inf IN-KERNEL against the
+    # SMEM row limit (the table itself is never padded or copied).
     if metric == MetricType.L2:
-        pen = squared_norms(ds_bf.astype(jnp.float32))
+        pen = squared_norms(ds_bf.astype(jnp.float32))[None, :]
     else:
-        pen = jnp.zeros((n_pad,), jnp.float32)
-    pen = jnp.where(row_ids < n_limit, pen, jnp.inf)[None, :]
+        pen = jnp.zeros((1, n), jnp.float32)
 
     s = t // L
-    nb = n_pad // L  # total buckets
+    n_tiles = -(-n // t)  # ceil: the last tile is masked in-kernel
+    nb = n_tiles * s  # total buckets
+    nlim = jnp.minimum(n_limit, n).reshape(1)
+
     # Grid order: row tiles OUTER, query blocks INNER. Pallas re-fetches
     # an input block only when its index-map output changes, so each
     # [T, d] row tile is DMA'd from HBM exactly once and stays VMEM-
     # resident while every query block sweeps it — table traffic is
     # N*d bytes total instead of (B/QB)*N*d (8x less at B=4096, QB=512;
     # the re-fetched query blocks are ~1000x smaller than the table).
-    grid = (n_pad // t, b_pad // qb)
     kern = functools.partial(_scan_kernel, L=L)
-    bmin, bids = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((qb, d_pad), lambda j, i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, d_pad), lambda j, i: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((qb, s), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, s), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b_pad, nb), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, nb), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b_pad * n_pad * d_pad,
-            bytes_accessed=(
-                grid[0] * b_pad * d_pad * 2
-                + n_pad * d_pad * 2
-                + b_pad * nb * 8
+
+    def scan_chunk(q_bf_chunk):
+        """[qc, d_pad] bf16 -> bucket summary ([qc, nb] f32, [qc, nb] i32)."""
+        grid = (n_tiles, qc // qb)
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((qb, d_pad), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, d_pad), lambda j, i: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((qb, s), lambda j, i: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((qb, s), lambda j, i: (i, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((qc, nb), jnp.float32),
+                jax.ShapeDtypeStruct((qc, nb), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * qc * n_tiles * t * d_pad,
+                bytes_accessed=(
+                    grid[0] * qc * d_pad * 2
+                    + n_tiles * t * d_pad * ds_bf.dtype.itemsize
+                    + qc * nb * 8
+                ),
+                transcendentals=0,
             ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(q_bf, ds_bf, pen)
-    bmin, bids = bmin[:b], bids[:b]
+            interpret=interpret,
+        )(nlim, q_bf_chunk, ds_bf, pen)
 
-    # phase B: shortlist from the 1/L-size bucket summary
-    if nb <= r:
-        cand_key, cand_i = bmin, bids
-    else:
-        cand_key, pos = jax.lax.approx_min_k(bmin, r)
-        cand_i = jnp.take_along_axis(bids, pos, axis=1)
+    def one_chunk(q_bf_chunk, q_raw_chunk):
+        """Full engine for one query chunk: kernel summary -> phase-B
+        shortlist -> rerank. Returns ([qc, k] dists, [qc, k] ids)."""
+        bmin, bids = scan_chunk(q_bf_chunk)
 
-    if not exact_rerank:
-        # rank by the kernel keys; calibrate them back to distances.
-        # L2: key = ||y_bf||^2 - 2<q_bf, y_bf>  ->  + ||q||^2
-        # IP: key = -2<q_bf, y_bf>              ->  1 + key/2
-        order = jnp.argsort(cand_key, axis=1, stable=True)[:, :k]
-        kk = jnp.take_along_axis(cand_key, order, axis=1)
-        if metric == MetricType.L2:
-            dist = kk + squared_norms(queries.astype(jnp.float32))[:, None]
+        # phase B: shortlist from the 1/L-size bucket summary
+        if nb <= r:
+            cand_key, cand_i = bmin, bids
         else:
-            dist = 1.0 + 0.5 * kk
-        dist = jnp.where(jnp.isinf(kk), jnp.inf, dist)
-        return dist, jnp.take_along_axis(cand_i, order, axis=1)
+            cand_key, pos = jax.lax.approx_min_k(bmin, r)
+            cand_i = jnp.take_along_axis(bids, pos, axis=1)
 
-    # exact rerank (shared conventions with fast_knn, distances.py:379-392):
-    # invalid/padded winners carry an inf key — keep them inf so their
-    # clipped row-0 rescore can't outrank real neighbors.
-    qk = queries
-    cand_rows = jnp.take(dataset, jnp.minimum(cand_i, n - 1), axis=0)
-    exact = query_block_distances(qk, cand_rows, metric)
-    exact = jnp.where(jnp.isinf(cand_key), jnp.inf, exact)
-    order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
-    return (
-        jnp.take_along_axis(exact, order, axis=1),
-        jnp.take_along_axis(cand_i, order, axis=1),
-    )
+        if not exact_rerank:
+            # rank by the kernel keys; calibrate them back to distances.
+            # L2: key = ||y_bf||^2 - 2<q_bf, y_bf>  ->  + ||q||^2
+            # IP: key = -2<q_bf, y_bf>              ->  1 + key/2
+            order = jnp.argsort(cand_key, axis=1, stable=True)[:, :k]
+            kk = jnp.take_along_axis(cand_key, order, axis=1)
+            if metric == MetricType.L2:
+                dist = kk + squared_norms(
+                    q_raw_chunk.astype(jnp.float32))[:, None]
+            else:
+                dist = 1.0 + 0.5 * kk
+            dist = jnp.where(jnp.isinf(kk), jnp.inf, dist)
+            return dist, jnp.take_along_axis(cand_i, order, axis=1)
+
+        # exact rerank (shared conventions with fast_knn,
+        # distances.py:379-392): invalid/padded winners carry an inf key
+        # — keep them inf so their clipped row-0 rescore can't outrank
+        # real neighbors.
+        cand_rows = jnp.take(dataset, jnp.minimum(cand_i, n - 1), axis=0)
+        exact = query_block_distances(q_raw_chunk, cand_rows, metric)
+        exact = jnp.where(jnp.isinf(cand_key), jnp.inf, exact)
+        order = jnp.argsort(exact, axis=1, stable=True)[:, :k]
+        return (
+            jnp.take_along_axis(exact, order, axis=1),
+            jnp.take_along_axis(cand_i, order, axis=1),
+        )
+
+    # pad the query batch to a whole number of chunks (chunks to a whole
+    # number of kernel query blocks); the pad rows are computed and
+    # discarded — queries are ~1000x smaller than the table
+    b_pad = _round_up(b, qc)
+    q_raw = queries
+    if b_pad != b:
+        q_bf = jnp.pad(q_bf, ((0, b_pad - b), (0, 0)))
+        q_raw = jnp.pad(q_raw, ((0, b_pad - b), (0, 0)))
+
+    n_chunks = b_pad // qc
+    if n_chunks == 1:
+        dist, ids = one_chunk(q_bf, q_raw)
+    else:
+        # lax.map: one compiled chunk body; the [qc, nb] summary is a
+        # loop temp allocated once, not once per chunk
+        dist, ids = jax.lax.map(
+            lambda qs: one_chunk(qs[0], qs[1]),
+            (
+                q_bf.reshape(n_chunks, qc, d_pad),
+                q_raw.reshape(n_chunks, qc, d),
+            ),
+        )
+        dist = dist.reshape(b_pad, k)
+        ids = ids.reshape(b_pad, k)
+    return dist[:b], ids[:b]
 
 
 __all__ = ["fused_knn"]

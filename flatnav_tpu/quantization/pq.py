@@ -254,6 +254,36 @@ class ProductQuantizer:
         return d
 
 
+def pack_codes_lanes(codes: np.ndarray, tile: int = 32768):
+    """Host-side lane packing for huge code tables: [N, g] uint8 ->
+    ([N_pad*g//128, 128] uint8, N_pad).
+
+    A TPU HBM array's minor dimension is padded to 128 lanes, so a
+    [100M, 32] uint8 code table occupies 12.8 GB device-side — 4x its
+    3.2 GB of payload — and any full-table HLO temp (round 4's pad/
+    concatenate at the old pq.py:392) doubles that again: the measured
+    23.8 GB compile-time OOM at the one scale the PQ engine exists for.
+    Packing the row-major byte stream into full 128-lane rows stores the
+    payload 1:1; `pq_scan_knn(..., lane_packed=True)` unpacks per tile
+    in VMEM. Rows are padded host-side (numpy) to a whole number of scan
+    tiles — pass the true row count as n_valid.
+
+    Requires 128 % g == 0 (g = bytes/row: num_subquantizers for 8-bit
+    codes, num_subquantizers//2 for nibble-packed 4-bit codes).
+    """
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, g = codes.shape
+    if 128 % g:
+        raise ValueError(f"lane packing requires 128 %% bytes/row == 0 "
+                         f"(got {g})")
+    if (tile * g) % 128:
+        raise ValueError(f"tile {tile} x {g} B/row must fill whole lanes")
+    n_pad = -(-n // tile) * tile
+    flat = np.zeros((n_pad * g // 128, 128), np.uint8)
+    flat.reshape(-1)[: n * g] = codes.reshape(-1)
+    return flat, n_pad
+
+
 def pack_codes_4bit(codes) -> jax.Array:
     """[N, S] 4-bit values -> [N, S//2] uint8 (even subspace in the low
     nibble). Halves the scanned HBM bytes for nbits=4 quantizers."""
@@ -323,10 +353,13 @@ def pq_beam_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_size", "rerank", "packed_4bit"),
+    static_argnames=(
+        "k", "metric", "tile_size", "rerank", "packed_4bit", "lane_packed",
+    ),
 )
 def pq_scan_knn(
-    codes: jax.Array,  # [N, S] uint8 (or [N, S//2] when packed_4bit)
+    codes: jax.Array,  # [N, S] uint8 (or [N, S//2] when packed_4bit; or
+    #                    lane-packed [N_pad*g//128, 128] — see pack_codes_lanes)
     tables: jax.Array,  # [B, S, nc] f32 ADC tables (pq.adc_tables)
     k: int,
     metric: MetricType = MetricType.L2,
@@ -336,6 +369,7 @@ def pq_scan_knn(
     vectors: jax.Array | None = None,
     queries: jax.Array | None = None,
     packed_4bit: bool = False,
+    lane_packed: bool = False,
 ):
     """ADC full-table scan on the MXU: the beyond-HBM-scale engine.
 
@@ -376,32 +410,70 @@ def pq_scan_knn(
     [B x N] on the MXU. ADC-mode distances are exact-f32 ADC values
     (+1 offset for IP, matching asymmetric_distances); raw-mode
     distances are exact.
+
+    At 100M-scale pass `lane_packed=True` with codes from
+    `pack_codes_lanes` (and the true row count as n_valid): a [N, g]
+    uint8 device array pads g to 128 lanes (4x HBM waste at g=32 — with
+    the old in-jit pad/concatenate temp, the measured 23.8 GB compile
+    OOM of round 4); the packed layout stores payload bytes 1:1 and the
+    per-tile reshape is VMEM-local. The table is never copied in-program
+    in any mode (the last tile clamps and masks instead of padding).
     """
-    n = codes.shape[0]
     b, s2, nc = tables.shape
-    s = codes.shape[1] * 2 if packed_4bit else codes.shape[1]
-    assert s == s2, (s, s2)
+    g = (s2 // 2) if packed_4bit else s2  # code bytes per row
+    if lane_packed:
+        # lane-packed layout (pack_codes_lanes): the flat byte stream in
+        # full 128-lane rows — payload-1:1 HBM residency (a [N, g] uint8
+        # array pads g to 128 lanes device-side: 4x waste at g=32, the
+        # round-4 100M OOM). Rows are pre-padded to whole tiles.
+        assert codes.shape[1] == 128, codes.shape
+        assert 128 % g == 0, g
+        n = codes.shape[0] * 128 // g
+        assert n_valid is not None, (
+            "lane_packed scans the host-padded row count; pass the true "
+            "count as n_valid")
+    else:
+        n = codes.shape[0]
+        s_in = codes.shape[1] * 2 if packed_4bit else codes.shape[1]
+        assert s_in == s2, (s_in, s2)
+    s = s2
     if packed_4bit:
         assert nc <= 16, ("packed_4bit requires a 4-bit quantizer "
                           f"(got {nc} centroids)")
     r = max(rerank, k)
     n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
-    tile = max(min(tile_size, n), 128)
-    n_tiles = -(-n // tile)
-    if n_tiles * tile != n:
+    n_limit = jnp.minimum(n_limit, n)
+    if not lane_packed and n < 128:
+        # tables below one minimum tile still pad (a <16 KB copy); every
+        # larger table is consumed in place via the clamped last tile
         codes = jnp.concatenate(
-            [codes,
-             jnp.zeros((n_tiles * tile - n, codes.shape[1]), codes.dtype)],
+            [codes, jnp.zeros((128 - n, codes.shape[1]), codes.dtype)],
             axis=0,
         )
+        n = 128
+    tile = max(min(tile_size, n), 128)
+    if lane_packed:
+        assert (tile * g) % 128 == 0 and n % tile == 0, (tile, g, n)
+    n_tiles = -(-n // tile)
     offset = 1.0 if metric == MetricType.IP else 0.0
     t_flat = tables.reshape(b, s * nc)
     cent_iota = jnp.arange(nc, dtype=jnp.int32)[None, None, :]
 
     def scan_tile(carry, tile_idx):
         best_key, best_i = carry
-        start = tile_idx * tile
-        rows = jax.lax.dynamic_slice_in_dim(codes, start, tile, axis=0)
+        start0 = tile_idx * tile
+        if lane_packed:
+            start = start0  # rows pre-padded to whole tiles host-side
+            rows = jax.lax.dynamic_slice_in_dim(
+                codes, start0 * g // 128, tile * g // 128, axis=0
+            ).reshape(tile, g)
+        else:
+            # the last tile CLAMPS into range instead of padding the
+            # table (the pad/concatenate materialized a full-table HLO
+            # temp — 23.8 GB at 100M uint8, round 4); re-scanned overlap
+            # rows are masked below (ids < start0)
+            start = jnp.minimum(start0, n - tile)
+            rows = jax.lax.dynamic_slice_in_dim(codes, start, tile, axis=0)
         if packed_4bit:
             # HBM saw the packed nibbles; the widening is VPU-local
             rows = unpack_codes_4bit(rows)
@@ -415,7 +487,7 @@ def pq_scan_knn(
             preferred_element_type=jnp.float32,
         )
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        key = jnp.where(ids < n_limit, key, jnp.inf)
+        key = jnp.where((ids >= start0) & (ids < n_limit), key, jnp.inf)
         tile_key, tile_pos = jax.lax.approx_min_k(key, r)
         tile_ids = jnp.take_along_axis(
             jnp.broadcast_to(ids, (b, tile)), tile_pos, axis=1
@@ -439,7 +511,19 @@ def pq_scan_knn(
     else:
         # exact-f32 ADC rerank of the [B, r] shortlist: one-hot select
         # on the VPU (sum over where(code==c, T[b,s,c], 0)) — gather-free
-        cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
+        if lane_packed:
+            # a code row spans g bytes inside a 128-lane row: gather the
+            # lane row, then select the row's byte window
+            per = 128 // g
+            lane_rows = jnp.take(codes, cand_i // per, axis=0)  # [B,r,128]
+            bb, rr, _ = lane_rows.shape
+            cand_codes = jnp.take_along_axis(
+                lane_rows.reshape(bb, rr, per, g),
+                (cand_i % per).astype(jnp.int32)[..., None, None],
+                axis=2,
+            )[:, :, 0, :]  # [B, r, g]
+        else:
+            cand_codes = jnp.take(codes, cand_i, axis=0)  # [B, r, S]
         if packed_4bit:
             bb, rr, _ = cand_codes.shape
             cand_codes = unpack_codes_4bit(

@@ -228,28 +228,97 @@ def test_fused_uint8_native_path(rng):
     )
 
 
-def test_auto_bucket_l_bounds_summary_footprint():
-    """The auto-picked L must keep the [B, N/L] f32+i32 phase-1 summaries
-    under the module bound — at N=10M, B=4096 the flat default (L=16)
-    compiled 19 GiB of summaries, a compile-time HBM OOM on the real
-    chip (round 4)."""
-    from flatnav_tpu.ops.fused_scan import _L, _SUMMARY_BYTES, _pick_bucket_l
+def test_auto_shapes_bound_every_footprint():
+    """_pick_shapes must keep (a) the double-buffered row tile and the
+    [qb, t] f32 key block inside their VMEM budgets, (b) qb at/above the
+    MXU-efficient floor whenever the batch allows (round 4 ran 10M at
+    qb=32 — a 4x MXU underutilization), and (c) the per-chunk
+    [qc, nb] f32+i32 bucket summary under the module bound — at N=10M,
+    B=4096 the round-4 flat default (L=16, no chunking) compiled 19 GiB
+    of summaries, a compile-time HBM OOM on the real chip."""
+    from flatnav_tpu.ops.fused_scan import (
+        _KEY_BYTES, _L, _QB, _QB_MIN, _ROWS_BYTES, _SUMMARY_BYTES, _TILE,
+        _pick_shapes, _round_up,
+    )
 
-    for n, b in [(10_000_000, 4096), (100_000_000, 8192),
-                 (1_000_000, 8192), (100_000, 8192), (100_000, 1),
-                 (2048, 64)]:
-        L = _pick_bucket_l(n, b)
-        n_buckets = n // L
-        b_eff = -(-b // 8) * 8
-        summary_bytes = 8 * b_eff * n_buckets  # f32 min + i32 id per bucket
-        # either the footprint fits, or L already stopped at the
-        # 4096-bucket floor (growing further would gut phase-1 quality)
-        assert summary_bytes <= _SUMMARY_BYTES or n // (2 * L) < 4096, \
-            (n, b, L, summary_bytes)
+    for n, b, d_pad, isz in [
+        (10_000_000, 4096, 128, 1), (100_000_000, 8192, 128, 1),
+        (1_000_000, 8192, 128, 2), (100_000, 8192, 128, 2),
+        (100_000, 1, 128, 2), (2048, 64, 128, 2),
+        (1_000_000, 8192, 1024, 2),  # gist-class d=960
+    ]:
+        L, t, qb, qc = _pick_shapes(
+            n, b, d_pad, isz, _TILE, _QB, None, _SUMMARY_BYTES)
+        assert t % (128 * L) == 0, (n, b, L, t)
+        assert t * d_pad * isz <= _ROWS_BYTES, (n, b, t)
+        assert qb * t * 4 <= _KEY_BYTES, (n, b, qb, t)
+        if b >= _QB_MIN:
+            assert qb >= _QB_MIN, (n, b, qb)
+        n_tiles = -(-n // t)
+        nb = n_tiles * (t // L)
+        assert 8 * qc * nb <= _SUMMARY_BYTES, (n, b, L, qc, 8 * qc * nb)
+        assert qc % qb == 0 and qc >= qb
         if n >= 4096 * _L:
-            assert n_buckets >= 4096, (n, b, L)
-    # measured configs keep their compiled shapes (committed caches)
-    assert _pick_bucket_l(100_000, 8192) == 16
-    assert _pick_bucket_l(1_000_000, 8192) == 16
-    # the OOM shape now picks a bounded L
-    assert _pick_bucket_l(10_000_000, 4096) == 128
+            assert nb >= 4096, (n, b, L)
+        # chunk count covers the batch
+        assert _round_up(b, qc) // qc * qc >= b
+    # the headline workload keeps its compiled shape (committed caches)
+    assert _pick_shapes(100_000, 8192, 128, 2, _TILE, _QB, None,
+                        _SUMMARY_BYTES) == (16, 2048, 512, 8192)
+
+
+def test_fused_internal_query_chunking_matches_unchunked(rng):
+    """Forcing a tiny summary budget chunks the query batch internally
+    (lax.map); results must be identical to the single-chunk program —
+    chunking is a memory-shape decision, never a semantic one."""
+    n, d, nq, k = 6000, 64, 96, 10
+    data = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+    q = jnp.asarray(rng.standard_normal((nq, d), dtype=np.float32))
+    d1, i1 = fused_knn(data, q, k, rerank=32)
+    # budget that forces >= 3 chunks: nb ~ n/L buckets, 8 bytes each
+    tiny = 8 * 32 * (6144 // 4)
+    d2, i2 = fused_knn(data, q, k, rerank=32, summary_bytes=tiny)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=0, atol=0)
+
+
+def test_fused_unpadded_tail_tile_is_masked(rng):
+    """The table is consumed in place (no pad copy): the grid's last,
+    partially-out-of-bounds row tile must be masked in-kernel — garbage
+    reads past N must never reach the shortlist. Checked by planting the
+    true nearest neighbors in the final partial tile."""
+    n, d, k = 2048 + 37, 24, 5  # n far from any tile multiple
+    data = rng.standard_normal((n, d), dtype=np.float32) + 10.0
+    q = data[-7:] + 1e-3 * rng.standard_normal((7, d), dtype=np.float32)
+    data, q = jnp.asarray(data.astype(np.float32)), jnp.asarray(
+        q.astype(np.float32))
+    ed, ei = brute_force_knn(data, q, k)
+    fd, fi = fused_knn(data, q, k, rerank=64)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.95
+    assert int(np.asarray(fi).max()) < n  # no out-of-bounds id survives
+    assert np.isfinite(np.asarray(fd)).all()
+    # n_valid cutting into the tail is honored exactly
+    nv = n - 17
+    fd2, fi2 = fused_knn(data, q, k, rerank=64, n_valid=jnp.int32(nv))
+    assert int(np.asarray(fi2).max()) < nv
+
+
+def test_native_int_gated_past_d257(rng):
+    """advisor r04: the unpromoted 8-bit path's exactness argument
+    (f32 accumulation exact for d*255^2 < 2^24) holds only to d=257;
+    deeper integer tables must ride the promoted path and still return
+    exact integer distances."""
+    from flatnav_tpu.ops.fused_scan import _NATIVE_INT_MAX_D
+
+    assert _NATIVE_INT_MAX_D == 257
+    n, d, nq, k = 3000, 320, 32, 5  # d > 257
+    data = rng.integers(0, 256, (n, d)).astype(np.uint8)
+    q = rng.integers(0, 256, (nq, d)).astype(np.uint8)
+    ed, ei = brute_force_knn(jnp.asarray(data), jnp.asarray(q), k)
+    fd, fi = fused_knn(jnp.asarray(data), jnp.asarray(q), k, rerank=64)
+    assert _recall(np.asarray(fi), np.asarray(ei), k) >= 0.95
+    agree = np.asarray(fi) == np.asarray(ei)
+    np.testing.assert_allclose(
+        np.asarray(fd)[agree], np.asarray(ed)[agree], rtol=0, atol=0
+    )

@@ -362,3 +362,96 @@ def test_pq_nbits_validation():
         ProductQuantizer(dim=32, num_subquantizers=8, nbits=6)
     with pytest.raises(ValueError, match="even"):
         ProductQuantizer(dim=33, num_subquantizers=3, nbits=4)
+
+
+def test_pq_scan_lane_packed_matches_unpacked(clustered_data):
+    """pack_codes_lanes + lane_packed=True must be bit-identical to the
+    plain [N, S] layout in every mode (ADC rerank, raw rerank, 4-bit
+    nibbles) — lane packing is a storage-layout decision that kills the
+    4x minor-dim padding of huge device code tables (round-4 100M OOM),
+    never a semantic one. Odd N exercises the host-side tile padding."""
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq import (
+        pack_codes_4bit,
+        pack_codes_lanes,
+        pq_scan_knn,
+    )
+
+    data, queries = clustered_data
+    data, queries = data[:1437], queries[:16]  # odd N
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:1000], n_iters=15
+    )
+    codes = np.asarray(pq.encode(data))
+    tables = pq.adc_tables(queries)
+    nv = jnp.asarray(len(data), jnp.int32)
+    flat, n_pad = pack_codes_lanes(codes, tile=512)
+    assert flat.shape[1] == 128 and n_pad % 512 == 0
+    for kwargs in (
+        {},  # ADC-rerank mode
+        {"vectors": jnp.asarray(data), "queries": jnp.asarray(queries)},
+    ):
+        d0, i0 = pq_scan_knn(
+            jnp.asarray(codes), tables, 10, tile_size=512, rerank=64,
+            n_valid=nv, **kwargs,
+        )
+        d1, i1 = pq_scan_knn(
+            jnp.asarray(flat), tables, 10, tile_size=512, rerank=64,
+            n_valid=nv, lane_packed=True, **kwargs,
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        # XLA may reassociate the rerank sum between the two gather
+        # forms: identical math, 1-ulp f32 ordering noise allowed
+        np.testing.assert_allclose(
+            np.asarray(d0), np.asarray(d1), rtol=1e-6, atol=1e-5
+        )
+        assert int(np.asarray(i1).max()) < len(data)
+
+    # 4-bit nibble codes ride the same packing (g = S//2)
+    pq4 = ProductQuantizer(dim=32, num_subquantizers=8, nbits=4).train(
+        data[:1000], n_iters=15
+    )
+    codes4 = np.asarray(pack_codes_4bit(pq4.encode(data)))
+    tables4 = pq4.adc_tables(queries)
+    flat4, _ = pack_codes_lanes(codes4, tile=512)
+    d0, i0 = pq_scan_knn(
+        jnp.asarray(codes4), tables4, 10, tile_size=512, rerank=64,
+        n_valid=nv, packed_4bit=True,
+    )
+    d1, i1 = pq_scan_knn(
+        jnp.asarray(flat4), tables4, 10, tile_size=512, rerank=64,
+        n_valid=nv, packed_4bit=True, lane_packed=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(d0), np.asarray(d1), rtol=1e-6, atol=1e-5
+    )
+
+
+def test_pq_scan_odd_n_no_pad_copy(clustered_data):
+    """The unpacked path's last tile clamps into range (no full-table pad
+    temp); overlap rows must not be double-counted — every returned id
+    unique per query, none out of range."""
+    import jax.numpy as jnp
+
+    from flatnav_tpu.quantization.pq import pq_scan_knn
+
+    data, queries = clustered_data
+    data, queries = data[:1219], queries[:16]  # 1219 % 512 != 0
+    pq = ProductQuantizer(dim=32, num_subquantizers=8).train(
+        data[:1000], n_iters=15
+    )
+    codes = pq.encode(data)
+    tables = pq.adc_tables(queries)
+    d, ids = pq_scan_knn(
+        jnp.asarray(codes), tables, 10, tile_size=512, rerank=64,
+    )
+    ids = np.asarray(ids)
+    assert ids.max() < 1219
+    for row in ids:
+        assert len(set(row.tolist())) == len(row), row
+    # exactness vs the gather-form oracle still holds
+    brute = np.asarray(pq.asymmetric_distances(queries, codes))
+    want_d = np.sort(brute, axis=1)[:, :10]
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-4)
