@@ -312,8 +312,18 @@ class Index:
         `exact_rerank=False` skips the rerank's HBM row gather
         (DMA-issue-rate-bound, ~150 ns/row) and ranks by the kernel's
         keys — distances are then key-calibrated (exact for integer
-        tables, within bf16 input rounding for float).
+        tables within the native-int depth bound, within bf16 input
+        rounding otherwise); it requires the fused shortlist path
+        (rerank > 0, fused=True) — other engines always rank by exact
+        distances, so the combination raises instead of silently
+        running different semantics than asked.
         """
+        if not exact_rerank and (rerank <= 0 or not fused):
+            raise ValueError(
+                "exact_rerank=False requires the fused shortlist path "
+                "(rerank > 0 and fused=True); fast_knn and the exact "
+                "scan always rank by exact distances"
+            )
         queries = np.asarray(queries)
         if queries.ndim == 1:
             queries = queries[None, :]
@@ -355,6 +365,13 @@ class Index:
                         rerank=rerank, n_valid=g.num_nodes,
                     )
             else:
+                if not exact_rerank:
+                    raise ValueError(
+                        "exact_rerank=False is unavailable for this "
+                        "dtype: integer queries outside the fused "
+                        "kernel's native 8-bit path route to the exact "
+                        "scan, which always ranks by exact distances"
+                    )
                 dists, ids = brute_force_knn(
                     g.vectors, qdev, K, self._metric, n_valid=g.num_nodes,
                 )

@@ -716,8 +716,13 @@ def add_batch(
         # round 4: the 1M x 960 build OOMs at ANY wave width without this,
         # and runs at wave 256 with it). One tiny readback per wave
         # (block_until_ready does not reliably block on tunneled
-        # backends); sub-2 GB tables keep the fully-async pipeline.
-        if vectors.nbytes > _SYNC_TABLE_BYTES and mesh is None:
+        # backends); sub-2 GB tables keep the fully-async pipeline. The
+        # mesh path pipelines the same working set per DEVICE (the table
+        # is row-sharded), so its threshold scales by the mesh size
+        # (advisor r04).
+        per_device_bytes = vectors.nbytes // (1 if mesh is None
+                                              else max(1, mesh.size))
+        if per_device_bytes > _SYNC_TABLE_BYTES:
             np.asarray(links[:1, :1])
 
         committed += w

@@ -248,3 +248,26 @@ def test_compact_width_noop_and_recall(rng):
     np.testing.assert_array_equal(l_full, l0)
     d_c, l_c = run(24)  # narrower than E*M=32, still >= ... half
     assert recall(l_c) >= recall(l0) - 0.02
+
+
+def test_search_exact_rejects_unhonorable_exact_rerank_false(rng):
+    """advisor r04: exact_rerank=False is only meaningful on the fused
+    shortlist path — combinations that route elsewhere must raise, not
+    silently run different semantics than asked."""
+    import pytest
+
+    import flatnav_tpu
+
+    data = rng.standard_normal((256, 16), dtype=np.float32)
+    idx = flatnav_tpu.index.create(
+        distance_type="l2", dim=16, dataset_size=256, max_edges_per_node=8
+    )
+    idx.add(data, ef_construction=32)
+    with pytest.raises(ValueError, match="exact_rerank"):
+        idx.search_exact(data[:4], K=5, rerank=0, exact_rerank=False)
+    with pytest.raises(ValueError, match="exact_rerank"):
+        idx.search_exact(data[:4], K=5, rerank=16, fused=False,
+                         exact_rerank=False)
+    # the honorable combination still works
+    d, l = idx.search_exact(data[:4], K=5, rerank=16, exact_rerank=False)
+    assert l.shape == (4, 5)
