@@ -84,6 +84,18 @@ def main():
     ap.add_argument("--centers-per-64k", type=int, default=None,
                     help="calibrated generator density (the c26 setting "
                         "fixed the 1M graph collapse; VERDICT r03 item 3)")
+    ap.add_argument("--n-centers", type=int, default=None,
+                    help="ABSOLUTE cluster count (real datasets are denser "
+                         "samples of a FIXED distribution — scaling "
+                         "clusters with n collapses both engines, "
+                         "results_ab_uint8.json; 397 matches the "
+                         "calibrated 1M workload where the graph reached "
+                         "0.9548)")
+    ap.add_argument("--pq-graph", action="store_true",
+                    help="measure the codes-only PQ GRAPH engine (ADC "
+                         "beam search over this build's links + raw "
+                         "rerank) — the beyond-HBM graph configuration "
+                         "(quantization/pq_index.py) at scale, on chip")
     args, _ = ap.parse_known_args()
     EFC = args.efc
     N, NQ = args.n, args.nq
@@ -92,6 +104,9 @@ def main():
     if args.centers_per_64k is not None:
         gen_kw["centers_per_64k"] = args.centers_per_64k
         variant = f"bigann-c{args.centers_per_64k}"
+    if args.n_centers is not None:
+        gen_kw["n_centers"] = args.n_centers
+        variant = f"bigann-nc{args.n_centers}"
     run_baseline = not args.no_baseline
     os.makedirs(SCRATCH, exist_ok=True)
     data, queries = clustered(N, D, NQ, dtype=np.uint8, **gen_kw)
@@ -184,22 +199,20 @@ def main():
         ])
 
     def run_fused(exact_rerank):
-        # The kernel's [B, N/L] f32+i32 bucket summaries are the HBM
-        # cost at this N: the default L=16 at B=4096 compiles to 19 GB
-        # of summaries (measured compile-time OOM, round 4). L=64 +
-        # B=1024 keeps them at 1.25 GB beside the 1.28 GB table;
-        # t=8192/qb=128 keeps the kernel's VMEM block set (~9 MB of
-        # rows + [qb, t] keys) inside the ~16 MB core budget.
-        fb = 1024
+        # BARE call (round 5): fused_knn picks VMEM-safe shapes and
+        # chunks the batch internally to bound its [B, N/L] summaries
+        # (at this N it derives exactly the L=64/t=8192/qb=128 config
+        # round 4 discovered by hand, then splits 8192 queries into
+        # in-program chunks) — one dispatch per query set minimizes the
+        # ~30 ms tunnel envelope.
         def go():
             return np.concatenate([
                 np.asarray(fused_knn(
-                    g.vectors, q_dev[lo : lo + fb], K, MetricType.L2,
+                    g.vectors, q_dev[lo : lo + NQ], K, MetricType.L2,
                     rerank=32, n_valid=g.num_nodes,
-                    bucket_l=64, tile_size=8192, query_block=128,
                     exact_rerank=exact_rerank,
                 )[1])
-                for lo in range(0, NQ, fb)
+                for lo in range(0, NQ, NQ)
             ])
         return go
 
@@ -216,6 +229,7 @@ def main():
     # rerank. Recall here is bounded by PQ quantization error — recorded
     # against the raw-vector ground truth like every other engine.
     pq_point = pq4_point = None
+    pq_graph_point = None
     if "--no-pq" not in sys.argv:
         from flatnav_tpu.quantization import ProductQuantizer
         from flatnav_tpu.quantization.pq import pq_scan_knn
@@ -266,7 +280,7 @@ def main():
             # distances): sweep the width toward the 0.95 target — the
             # ADC scan dominates the dispatch so wider rerank is cheap
             best8 = None
-            for rr in (args.pq_rerank, 128, 256, 512):
+            for rr in (args.pq_rerank, 128, 256, 512, 1024):
                 pt = time_engine(run_pq(rr), f"pq-scan rerank={rr}",
                                  scan=False)
                 pt["rerank"] = rr
@@ -278,6 +292,29 @@ def main():
                     break
             best8["prep_seconds"] = round(pq_prep_s, 1)
             best8["code_bytes_per_node"] = args.m_pq
+            # ADC-ceiling attribution (VERDICT r04 item 3): raw-rerank
+            # recall at width r IS recall@shortlist-r, so the widest
+            # sweep point bounds what ANY rerank can recover; the
+            # ADC-only point (no raw rerank) at the same width isolates
+            # what the CODEBOOK ranks correctly — the gap between them
+            # is quantization error, not engine error.
+            try:
+                def run_pq_adconly():
+                    outs = []
+                    for lo in range(0, NQ, BATCH):
+                        tables = pq.adc_tables(
+                            queries[lo : lo + BATCH].astype(np.float32))
+                        _, ids = pq_scan_knn(
+                            codes_dev, tables, K, metric=MetricType.L2,
+                            tile_size=131072, rerank=best8["rerank"],
+                        )
+                        outs.append(np.asarray(ids))
+                    return np.concatenate(outs, 0)
+                best8["adc_only_recall"] = recall(run_pq_adconly())
+                log(f"pq ADC-only (codebook-ranked) recall: "
+                    f"{best8['adc_only_recall']:.4f}")
+            except Exception as e:
+                log(f"adc-only attribution FAULTED: {e!r}")
             pq_point = best8
         except Exception as e:
             log(f"pq engine FAULTED: {e!r}")
@@ -351,6 +388,61 @@ def main():
             pq4_point = best4
         else:
             pq4_point = None
+
+    # ---- PQ GRAPH engine (VERDICT r04 item 3): the codes-only graph —
+    # ADC beam search over this build's links (same topology; the
+    # reference's Index<ProductQuantizer> likewise stores codes + links,
+    # ProductQuantization.h:91-92) with a raw-vector rerank of the beam.
+    # Per-query work ~ hops * E * M code-gathers, N-INDEPENDENT — the one
+    # engine whose per-query cost does not scale with table size, i.e.
+    # the beyond-HBM configuration measured at scale on chip.
+    if args.pq_graph and not args.no_pq and pq_point is not None:
+        from flatnav_tpu.ops.distances import query_block_distances
+        from flatnav_tpu.quantization.pq import pq_beam_search
+
+        def run_pq_graph(ef, expand, rr):
+            outs = []
+            for lo in range(0, NQ, BATCH):
+                tables = pq.adc_tables(
+                    queries[lo : lo + BATCH].astype(np.float32))
+                beam = pq_beam_search(
+                    codes_dev, g.links, g.num_nodes, tables,
+                    ef=ef, metric=MetricType.L2, expand_factor=expand,
+                )
+                short_i = beam.ids[:, :rr]
+                rows = jnp.take(
+                    g.vectors, jnp.minimum(short_i, N - 1), axis=0)
+                exact = query_block_distances(
+                    q_dev[lo : lo + BATCH], rows, MetricType.L2)
+                exact = jnp.where(
+                    jnp.isinf(beam.dists[:, :rr]), jnp.inf, exact)
+                order = jnp.argsort(exact, axis=1, stable=True)[:, :K]
+                outs.append(np.asarray(
+                    jnp.take_along_axis(short_i, order, axis=1)))
+            return np.concatenate(outs, 0)
+
+        best_pqg = None
+        for ef, expand in ((128, 16), (256, 16), (512, 16), (1024, 64)):
+            rr = min(ef, 128)
+            try:
+                pt = time_engine(
+                    lambda ef=ef, expand=expand, rr=rr: run_pq_graph(
+                        ef, expand, rr),
+                    f"pq-graph ef={ef} E={expand}", scan=False)
+            except Exception as e:
+                log(f"pq-graph ef={ef} FAULTED: {e!r}")
+                break
+            pt.update({"ef": ef, "expand": expand, "rerank": rr})
+            if best_pqg is None or (pt["recall"], pt["qps"]) > (
+                    best_pqg["recall"], best_pqg["qps"]):
+                best_pqg = pt
+            if pt["recall"] >= TARGET:
+                best_pqg = pt
+                break
+        if best_pqg is not None:
+            best_pqg["code_bytes_per_node"] = args.m_pq
+            best_pqg["links_from"] = "raw exact-distance build"
+            pq_graph_point = best_pqg
 
     def run_graph(ef, expand):
         outs = []
@@ -477,6 +569,7 @@ def main():
         ("exact_engine", exact), ("fast_engine", fast),
         ("fused_engine", fused), ("fusednr_engine", fusednr),
         ("pq_scan_engine", pq_point), ("pq4_scan_engine", pq4_point),
+        ("pq_graph_engine", pq_graph_point),
         ("reference_single_core", ref),
     ):
         if val is not None:

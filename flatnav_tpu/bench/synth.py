@@ -30,6 +30,7 @@ def clustered(
     center_scale: float = 0.7,
     query_noise: float = 1.0,
     dtype=np.float32,
+    n_centers: int | None = None,
 ):
     """Gaussian-mixture dataset + queries.
 
@@ -46,9 +47,18 @@ def clustered(
     Returns (data [n, dim], queries [num_queries, dim]) in `dtype`.
     Queries are noise-perturbed dataset points (the ann-benchmarks
     convention: queries come from the same distribution).
+
+    `n_centers` fixes the mixture's cluster count ABSOLUTELY instead of
+    scaling it with n. Real datasets are denser samples of a FIXED
+    distribution — SIFT-10M is not "10x the clusters of SIFT-1M" — and
+    the round-3/4 A-B study (benchmarks/results_ab_uint8.json) showed
+    cluster count scaling linearly with n collapses BOTH this engine and
+    the reference C++ on identical bytes; a fixed center set is the
+    honest way to scale one workload family across N.
     """
     rng = np.random.default_rng(seed)
-    n_centers = max(8, (n * centers_per_64k) // 65536)
+    if n_centers is None:
+        n_centers = max(8, (n * centers_per_64k) // 65536)
     centers = (
         rng.standard_normal((n_centers, dim)).astype(np.float32)
         * center_scale
