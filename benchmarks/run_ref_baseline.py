@@ -93,6 +93,10 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--m", type=int, default=32)
     ap.add_argument("--centers-per-64k", type=int, default=None)
+    ap.add_argument("--n-centers", type=int, default=None,
+                    help="ABSOLUTE cluster count (matches the 10M "
+                         "natural variant, run_bigann_10m.py "
+                         "--n-centers)")
     ap.add_argument("--results", default=None,
                     help="results JSON to merge into (default: the "
                          "north-star runner's path for this config)")
@@ -106,6 +110,9 @@ def main():
     if args.centers_per_64k is not None:
         gen_kw["centers_per_64k"] = args.centers_per_64k
         variant = f"{args.config}-c{args.centers_per_64k}"
+    if args.n_centers is not None:
+        gen_kw["n_centers"] = args.n_centers
+        variant = f"{args.config}-nc{args.n_centers}"
     results = args.results or os.path.join(
         _REPO, f"benchmarks/results_{variant}_efc{args.efc}.json")
 
