@@ -240,20 +240,25 @@ def brute_force_knn(
     b = queries.shape[0]
     n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     tile = max(min(tile_size, n), 128)
-    n_tiles = -(-n // tile)
-    n_pad = n_tiles * tile
-    if n_pad != n:
-        pad = jnp.zeros((n_pad - n, d), dataset.dtype)
+    if n < tile:  # tiny table only — a large table is NEVER pad-copied
+        pad = jnp.zeros((tile - n, d), dataset.dtype)
         dataset = jnp.concatenate([dataset, pad], axis=0)
+        n = tile
+    n_tiles = -(-n // tile)
     q_sq = squared_norms(queries)
 
     def scan_tile(carry, tile_idx):
         best_d, best_i = carry
-        start = tile_idx * tile
+        # Last tile: clamp the start so the slice stays in bounds (no
+        # full-table pad copy — at 100M that pad materialized an 11.9 GB
+        # HLO temp and OOM'd the compile); rows already scanned by the
+        # previous tile are masked out via ids < start_raw.
+        start_raw = tile_idx * tile
+        start = jnp.minimum(start_raw, n - tile)
         rows = jax.lax.dynamic_slice_in_dim(dataset, start, tile, axis=0)
         dists = pairwise_distances(queries, rows, metric, x_sq=q_sq)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        valid = (ids < n_limit)
+        valid = (ids >= start_raw) & (ids < n_limit)
         dists = jnp.where(valid, dists, jnp.inf)
         ids = jnp.broadcast_to(ids, (b, tile))
         all_d = jnp.concatenate([best_d, dists], axis=1)
@@ -320,18 +325,20 @@ def fast_knn(
     r = max(rerank, k)
     n_limit = jnp.asarray(n if n_valid is None else n_valid, jnp.int32)
     tile = max(min(tile_size, n), 128)
-    n_tiles = -(-n // tile)
-    n_pad = n_tiles * tile
-    if n_pad != n:
+    if n < tile:  # tiny table only — a large table is NEVER pad-copied
         dataset = jnp.concatenate(
-            [dataset, jnp.zeros((n_pad - n, d), dataset.dtype)], axis=0
+            [dataset, jnp.zeros((tile - n, d), dataset.dtype)], axis=0
         )
+        n = tile
+    n_tiles = -(-n // tile)
     int_path = _is_int(queries) and _is_int(dataset)
     qf = queries if int_path else queries.astype(jnp.float32)
 
     def scan_tile(carry, tile_idx):
         best_key, best_i = carry
-        start = tile_idx * tile
+        # Clamped-start last tile; overlap masked below (no pad copy).
+        start_raw = tile_idx * tile
+        start = jnp.minimum(start_raw, n - tile)
         rows = jax.lax.dynamic_slice_in_dim(dataset, start, tile, axis=0)
         if int_path:
             # exact int32 ranking key on the int8 MXU (s8 x s8 -> s32)
@@ -357,7 +364,7 @@ def fast_knn(
                 ys = jnp.sum(rf * rf, axis=-1)
                 key = ys[None, :] - 2.0 * dots
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-        key = jnp.where(ids < n_limit, key, jnp.inf)
+        key = jnp.where((ids >= start_raw) & (ids < n_limit), key, jnp.inf)
         tile_key, tile_pos = jax.lax.approx_min_k(
             key, r, recall_target=recall_target
         )

@@ -68,10 +68,12 @@ def build_phase_a(n, d, b, L, tile, qb, interpret):
 
     @jax.jit
     def phase_a(q_bf, ds_bf, pen):
+        nlim = jnp.asarray([n], jnp.int32)
         return pl.pallas_call(
             kern,
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((qb, d_pad), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((t, d_pad), lambda i, j: (j, 0),
@@ -90,7 +92,7 @@ def build_phase_a(n, d, b, L, tile, qb, interpret):
                 jax.ShapeDtypeStruct((b_pad, nb), jnp.int32),
             ],
             interpret=interpret,
-        )(q_bf, ds_bf, pen)
+        )(nlim, q_bf, ds_bf, pen)
 
     return phase_a, (n_pad, b_pad, d_pad, nb, grid, t)
 
