@@ -198,7 +198,18 @@ def main():
                          "less MXU work per code, the fast-scan sweet "
                          "spot at d=128)")
     ap.add_argument("--pq-rerank", type=int, default=64)
+    ap.add_argument("--pq-tile", type=int, default=32768,
+                    help="ADC scan tile: per-tile temps (the bf16 "
+                         "one-hot and its compare operands) scale "
+                         "linearly with the tile, and at 100M the "
+                         "arguments already hold ~14 GB of the 15.75 "
+                         "GB HBM — 32768 keeps the scan program under "
+                         "~1 GB while the dot stays MXU-sized")
     ap.add_argument("--no-pq", action="store_true")
+    ap.add_argument("--pq-only", action="store_true",
+                    help="skip the fused/exact stages (their artifact "
+                         "entries persist via the incremental flush) — "
+                         "for PQ-stage relaunches after a fault fix")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
@@ -284,17 +295,19 @@ def main():
             return np.concatenate(outs, 0)
         return go
 
-    try:
-        results["fused_engine"] = time_engine(
-            run_fused(True), "fused engine (native uint8)", scan_flops)
-        results["fusednr_engine"] = time_engine(
-            run_fused(False), "fused-norerank engine", scan_flops)
-    except Exception as e:
-        log(f"fused engines FAULTED: {e!r}")
-        results["fused_fault"] = repr(e)
-    flush()
+    if not args.pq_only:
+        try:
+            results["fused_engine"] = time_engine(
+                run_fused(True), "fused engine (native uint8)",
+                scan_flops)
+            results["fusednr_engine"] = time_engine(
+                run_fused(False), "fused-norerank engine", scan_flops)
+        except Exception as e:
+            log(f"fused engines FAULTED: {e!r}")
+            results["fused_fault"] = repr(e)
+        flush()
 
-    if not args.skip_exact:
+    if not (args.skip_exact or args.pq_only):
         def run_exact():
             outs = []
             for lo in range(0, NQ, 2048):
@@ -316,7 +329,7 @@ def main():
         from flatnav_tpu.quantization.pq import pack_codes_lanes, pq_scan_knn
 
         PB = args.pq_b
-        PQ_TILE = 131072
+        PQ_TILE = args.pq_tile
 
         sample = np.ascontiguousarray(
             data_mm[:: max(1, n // 500_000)][:500_000]).astype(np.float32)

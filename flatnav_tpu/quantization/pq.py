@@ -477,8 +477,13 @@ def pq_scan_knn(
         if packed_4bit:
             # HBM saw the packed nibbles; the widening is VPU-local
             rows = unpack_codes_4bit(rows)
+        # compare at u8 width: the s32 compare materialized both eq
+        # operands as s32[tile, S, nc] HLO temps (2 x 2 GB at
+        # tile=131072, nc=256 — the round-5 100M pq compile OOM with
+        # 13.4 GB of arguments already resident); u8 keeps the
+        # broadcast operands byte-wide (codes are always < 256)
         onehot = (
-            rows.astype(jnp.int32)[:, :, None] == cent_iota
+            rows[:, :, None] == cent_iota.astype(rows.dtype)
         ).astype(jnp.bfloat16).reshape(tile, s * nc)
         # [B, S*nc] x [tile, S*nc] -> [B, tile] on the MXU (bf16 pass)
         key = jax.lax.dot_general(
